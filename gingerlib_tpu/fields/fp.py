@@ -217,6 +217,22 @@ def from_mont(params: FpParams, a):
     return mont_redc(params, jnp.pad(a, pad))
 
 
+def lazy_reduce(params: FpParams, x):
+    """Reduce raw (un-normalized) digit sums to a canonical residue < p.
+
+    x: [..., n] uint32 digit columns whose integer value V satisfies
+    V < 2^(16n) (e.g. segment-sums of < 2^15 Montgomery residues).  Returns
+    V mod p: one REDC (giving V·R^-1) followed by a Montgomery multiply by
+    R² — the lazy-reduction pattern that lets additions accumulate in plain
+    u32 columns before paying a single modular reduction.
+    """
+    n = params.n_digits
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, n)]
+    t = mont_redc(params, jnp.pad(x, pad))  # V * R^-1 mod p
+    return mont_mul(params, t, jnp.broadcast_to(
+        jnp.asarray(params.r2_digits), t.shape))
+
+
 # ---------------------------------------------------------------------------
 # exponentiation / inversion / legendre / sqrt
 # ---------------------------------------------------------------------------
@@ -368,6 +384,44 @@ def batch_inverse(params: FpParams, a, axis: int = 0):
     return jnp.moveaxis(invs, 0, axis)
 
 
+def batch_inverse_tree(params: FpParams, a):
+    """Invert a flat batch [N, nd] with ~3N muls + ONE Fermat inversion.
+
+    Parallel product-tree version of the Montgomery batch-inversion trick
+    (the reference shares one inversion across all Poseidon S-boxes per
+    round, poseidon/mod.rs:178-217; a sequential prefix scan would serialize
+    the batch, so we use a log-depth tree: pairwise products up, invert the
+    root, push inverses down).  Zeros pass through as zeros.
+    """
+    n = a.shape[0]
+    zero_mask = limbs.is_zero(a)
+    one = jnp.asarray(params.one_mont)
+    x = jnp.where(zero_mask[..., None], jnp.broadcast_to(one, a.shape), a)
+
+    # pad to a power of two with ones
+    n2 = 1 << max(0, (n - 1).bit_length())
+    if n2 != n:
+        pad = jnp.broadcast_to(one, (n2 - n, a.shape[-1]))
+        x = jnp.concatenate([x, pad], axis=0)
+
+    levels = [x]
+    cur = x
+    while cur.shape[0] > 1:
+        cur = mont_mul(params, cur[0::2], cur[1::2])
+        levels.append(cur)
+
+    inv = inv_mod(params, levels[-1])  # [1, nd]
+    for lvl in range(len(levels) - 2, -1, -1):
+        child = levels[lvl]
+        left, right = child[0::2], child[1::2]
+        inv_left = mont_mul(params, inv, right)
+        inv_right = mont_mul(params, inv, left)
+        inv = jnp.stack([inv_left, inv_right], axis=1).reshape(
+            child.shape[0], -1)
+    inv = inv[:n]
+    return jnp.where(zero_mask[..., None], jnp.zeros_like(inv), inv)
+
+
 # ---------------------------------------------------------------------------
 # host conversions
 # ---------------------------------------------------------------------------
@@ -379,7 +433,9 @@ def fp_from_int(params: FpParams, x: int) -> np.ndarray:
 
 
 def fp_from_ints(params: FpParams, xs) -> np.ndarray:
-    return np.stack([fp_from_int(params, int(x)) for x in xs])
+    p, r = params.modulus, params.r
+    return limbs.to_digits_batch([int(x) % p * r % p for x in xs],
+                                 params.n_digits)
 
 
 def fp_to_int(params: FpParams, d) -> int:
@@ -389,4 +445,5 @@ def fp_to_int(params: FpParams, d) -> int:
 
 def fp_to_ints(params: FpParams, d) -> list:
     d = np.asarray(d)
-    return [fp_to_int(params, row) for row in d.reshape(-1, d.shape[-1])]
+    raw = limbs.from_digits_batch(d.reshape(-1, d.shape[-1]))
+    return [v * params.r_inv % params.modulus for v in raw]

@@ -1,0 +1,342 @@
+"""Extension-field towers as batched flat component arrays.
+
+Replaces the reference's Fp2/Fp3/Fp4/Fp6/Fp12 models
+(algebra/src/fields/models/fp{2,3,4,6_2over3,6_3over2,12_2over3over2}.rs)
+with a composable, batch-first design:
+
+* an element of a degree-K tower is a uint32 array [..., K, n_digits] whose
+  K components (Montgomery form) are ordered "sub-tower low component
+  first" (so an Fp12 = quad-over-cubic-over-quad element flattens its
+  nested structure depth-first),
+* each tower level is an ``Ops`` object (QuadExtOps / CubicExtOps over a
+  sub-``Ops``), composing Karatsuba / Toom-style multiplication recursively,
+* Frobenius tables are derived at build time by host_ext.py instead of
+  transcribing constant tables; tests validate them against the reference's
+  extracted tables.
+
+All methods are pure jnp functions of arrays (jit/vmap/shard_map friendly).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import fp as fpmod
+from .fp import FpParams
+from . import host_ext
+
+
+def _flatten_host(v):
+    """Nested int tuple/list -> flat list of ints (depth-first)."""
+    if isinstance(v, (int,)):
+        return [v]
+    out = []
+    for c in v:
+        out.extend(_flatten_host(c))
+    return out
+
+
+class FpOps:
+    """Degree-1 'tower': the base prime field with a unit component axis."""
+
+    def __init__(self, params: FpParams):
+        self.fp = params
+        self.K = 1
+        self.name = params.name
+
+    # host constant -> device digits [K, n] (Montgomery form)
+    def const(self, v) -> np.ndarray:
+        vs = _flatten_host(v)
+        assert len(vs) == 1
+        return fpmod.fp_from_int(self.fp, vs[0])[None, :]
+
+    def zero(self) -> np.ndarray:
+        return np.zeros((1, self.fp.n_digits), dtype=np.uint32)
+
+    def one(self) -> np.ndarray:
+        return np.asarray(self.fp.one_mont)[None, :]
+
+    def add(self, a, b):
+        return fpmod.add_mod(self.fp, a, b)
+
+    def sub(self, a, b):
+        return fpmod.sub_mod(self.fp, a, b)
+
+    def neg(self, a):
+        return fpmod.neg_mod(self.fp, a)
+
+    def mul(self, a, b):
+        return fpmod.mont_mul(self.fp, a, b)
+
+    def sqr(self, a):
+        return fpmod.mont_mul(self.fp, a, a)
+
+    def inv(self, a):
+        return fpmod.inv_mod(self.fp, a)
+
+    def frob(self, a, i: int):
+        return a
+
+    def double(self, a):
+        return fpmod.add_mod(self.fp, a, a)
+
+    def is_zero(self, a):
+        return jnp.all(a == 0, axis=(-1, -2))
+
+    def eq(self, a, b):
+        return jnp.all(a == b, axis=(-1, -2))
+
+    def scale_fp(self, a, s):
+        """Multiply every component by base-field element s [..., n]."""
+        return fpmod.mont_mul(self.fp, a, s[..., None, :])
+
+
+class _ExtBase:
+    def __init__(self, name: str, sub, degree: int):
+        self.name = name
+        self.sf = sub
+        self.fp = sub.fp
+        self.degree = degree
+        self.K = degree * sub.K
+
+    def _split(self, x):
+        k = self.sf.K
+        return tuple(x[..., i * k:(i + 1) * k, :] for i in range(self.degree))
+
+    def _join(self, parts):
+        return jnp.concatenate(parts, axis=-2)
+
+    def zero(self) -> np.ndarray:
+        return np.zeros((self.K, self.fp.n_digits), dtype=np.uint32)
+
+    def one(self) -> np.ndarray:
+        z = self.zero().copy()
+        z[: self.sf.K] = self.sf.one()
+        return z
+
+    def const(self, v) -> np.ndarray:
+        vs = _flatten_host(v)
+        assert len(vs) == self.K, (len(vs), self.K)
+        return np.concatenate(
+            [fpmod.fp_from_int(self.fp, x)[None, :] for x in vs], axis=0)
+
+    def add(self, a, b):
+        return fpmod.add_mod(self.fp, a, b)
+
+    def sub(self, a, b):
+        return fpmod.sub_mod(self.fp, a, b)
+
+    def neg(self, a):
+        return fpmod.neg_mod(self.fp, a)
+
+    def double(self, a):
+        return fpmod.add_mod(self.fp, a, a)
+
+    def is_zero(self, a):
+        return jnp.all(a == 0, axis=(-1, -2))
+
+    def eq(self, a, b):
+        return jnp.all(a == b, axis=(-1, -2))
+
+    def scale_fp(self, a, s):
+        return fpmod.mont_mul(self.fp, a, s[..., None, :])
+
+
+class QuadExtOps(_ExtBase):
+    """K = 2*sub.K tower: x = a0 + a1*Y with Y^2 = nonresidue ∈ subfield.
+
+    Mirrors fp2.rs / fp4.rs / fp6_2over3.rs / fp12_2over3over2.rs.
+    """
+
+    def __init__(self, name, sub, nonresidue_host, frob_c1_host):
+        super().__init__(name, sub, 2)
+        self.nr = jnp.asarray(sub.const(nonresidue_host))
+        # frobenius coeffs: subfield constants, one per power i in 0..K-1
+        self.frob_c1 = [jnp.asarray(sub.const(c)) for c in frob_c1_host]
+
+    def mul_by_nonresidue(self, a):
+        """subfield element * Y^2."""
+        return self.sf.mul(a, self.nr)
+
+    def mul(self, x, y):
+        a0, a1 = self._split(x)
+        b0, b1 = self._split(y)
+        v0 = self.sf.mul(a0, b0)
+        v1 = self.sf.mul(a1, b1)
+        c0 = self.sf.add(v0, self.mul_by_nonresidue(v1))
+        t = self.sf.mul(self.sf.add(a0, a1), self.sf.add(b0, b1))
+        c1 = self.sf.sub(self.sf.sub(t, v0), v1)
+        return self._join((c0, c1))
+
+    def sqr(self, x):
+        a0, a1 = self._split(x)
+        v0 = self.sf.sqr(a0)
+        v1 = self.sf.sqr(a1)
+        c0 = self.sf.add(v0, self.mul_by_nonresidue(v1))
+        t = self.sf.sqr(self.sf.add(a0, a1))
+        c1 = self.sf.sub(self.sf.sub(t, v0), v1)
+        return self._join((c0, c1))
+
+    def inv(self, x):
+        a0, a1 = self._split(x)
+        norm = self.sf.sub(self.sf.sqr(a0),
+                            self.mul_by_nonresidue(self.sf.sqr(a1)))
+        t = self.sf.inv(norm)
+        return self._join((self.sf.mul(a0, t),
+                           self.sf.neg(self.sf.mul(a1, t))))
+
+    def conjugate(self, x):
+        a0, a1 = self._split(x)
+        return self._join((a0, self.sf.neg(a1)))
+
+    # GT unitary inverse (fp4.rs:70): for cyclotomic elements the inverse is
+    # the conjugate.
+    unitary_inverse = conjugate
+
+    def frob(self, x, i: int):
+        a0, a1 = self._split(x)
+        f0 = self.sf.frob(a0, i)
+        f1 = self.sf.mul(self.sf.frob(a1, i), self.frob_c1[i % self.K])
+        return self._join((f0, f1))
+
+    def mul_by_sub(self, x, s):
+        """Multiply by a subfield element s (sparse)."""
+        a0, a1 = self._split(x)
+        return self._join((self.sf.mul(a0, s), self.sf.mul(a1, s)))
+
+
+class CubicExtOps(_ExtBase):
+    """K = 3*sub.K tower: x = a0 + a1*X + a2*X^2, X^3 = nonresidue ∈ subfield.
+
+    Mirrors fp3.rs / fp6_3over2.rs (Toom-style multiplication).
+    """
+
+    def __init__(self, name, sub, nonresidue_host, frob_c1_host,
+                 frob_c2_host):
+        super().__init__(name, sub, 3)
+        self.nr = jnp.asarray(sub.const(nonresidue_host))
+        self.frob_c1 = [jnp.asarray(sub.const(c)) for c in frob_c1_host]
+        self.frob_c2 = [jnp.asarray(sub.const(c)) for c in frob_c2_host]
+
+    def mul_by_nonresidue(self, a):
+        return self.sf.mul(a, self.nr)
+
+    def mul(self, x, y):
+        a0, a1, a2 = self._split(x)
+        b0, b1, b2 = self._split(y)
+        S = self.sf
+        v0 = S.mul(a0, b0)
+        v1 = S.mul(a1, b1)
+        v2 = S.mul(a2, b2)
+        t12 = S.mul(S.add(a1, a2), S.add(b1, b2))  # a1b1+a1b2+a2b1+a2b2
+        c0 = S.add(v0, self.mul_by_nonresidue(S.sub(S.sub(t12, v1), v2)))
+        t01 = S.mul(S.add(a0, a1), S.add(b0, b1))
+        c1 = S.add(S.sub(S.sub(t01, v0), v1), self.mul_by_nonresidue(v2))
+        t02 = S.mul(S.add(a0, a2), S.add(b0, b2))
+        c2 = S.add(S.sub(S.sub(t02, v0), v2), v1)
+        return self._join((c0, c1, c2))
+
+    def sqr(self, x):
+        return self.mul(x, x)
+
+    def inv(self, x):
+        a0, a1, a2 = self._split(x)
+        S = self.sf
+        s0 = S.sub(S.sqr(a0), self.mul_by_nonresidue(S.mul(a1, a2)))
+        s1 = S.sub(self.mul_by_nonresidue(S.sqr(a2)), S.mul(a0, a1))
+        s2 = S.sub(S.sqr(a1), S.mul(a0, a2))
+        norm = S.add(S.mul(a0, s0), self.mul_by_nonresidue(
+            S.add(S.mul(a2, s1), S.mul(a1, s2))))
+        t = S.inv(norm)
+        return self._join((S.mul(s0, t), S.mul(s1, t), S.mul(s2, t)))
+
+    def frob(self, x, i: int):
+        a0, a1, a2 = self._split(x)
+        S = self.sf
+        f0 = S.frob(a0, i)
+        f1 = S.mul(S.frob(a1, i), self.frob_c1[i % self.K])
+        f2 = S.mul(S.frob(a2, i), self.frob_c2[i % self.K])
+        return self._join((f0, f1, f2))
+
+    def mul_by_sub(self, x, s):
+        a0, a1, a2 = self._split(x)
+        S = self.sf
+        return self._join((S.mul(a0, s), S.mul(a1, s), S.mul(a2, s)))
+
+
+# ---------------------------------------------------------------------------
+# generic helpers on any Ops
+# ---------------------------------------------------------------------------
+
+def ext_pow_const(ops, x, exp_bits: np.ndarray):
+    """x^e for fixed exponent bits (MSB first) via lax.scan."""
+    import jax
+    one = jnp.broadcast_to(jnp.asarray(ops.one()), x.shape)
+    bits = jnp.asarray(exp_bits)
+
+    def step(r, bit):
+        r = ops.sqr(r)
+        r = jnp.where(bit.astype(bool), ops.mul(r, x), r)
+        return r, None
+
+    r, _ = jax.lax.scan(step, one, bits)
+    return r
+
+
+def ext_from_ints(ops, comps) -> np.ndarray:
+    """Host nested ints -> device element [K, n] (Montgomery)."""
+    return ops.const(comps)
+
+
+def ext_to_ints(ops, x) -> list:
+    """Device element -> flat list of standard-form ints (host)."""
+    x = np.asarray(x)
+    return [fpmod.fp_to_int(ops.fp, x[..., i, :]) for i in range(ops.K)]
+
+
+# ---------------------------------------------------------------------------
+# tower builders for the concrete parameter sets
+# ---------------------------------------------------------------------------
+
+def build_mnt4_towers(fq_params: FpParams, nr2: int):
+    """MNT4-style tower Fq -> Fq2 (X^2=nr) -> Fq4 (Y^2=X)."""
+    p = fq_params.modulus
+    base = FpOps(fq_params)
+    fq2 = QuadExtOps(f"{fq_params.name}2", base, nr2,
+                     host_ext.frob_table_fp2(p, nr2))
+    c1_4 = host_ext.frob_table_fp4(p, nr2)
+    # Fp4's nonresidue is X = (0, 1) in Fq2; frob coeffs are Fp values
+    # embedded into Fq2 as (c, 0).
+    fq4 = QuadExtOps(f"{fq_params.name}4", fq2, [0, 1],
+                     [[c, 0] for c in c1_4])
+    return base, fq2, fq4
+
+
+def build_mnt6_towers(fq_params: FpParams, nr3: int):
+    """MNT6-style tower Fq -> Fq3 (X^3=nr) -> Fq6 (Y^2=X)."""
+    p = fq_params.modulus
+    base = FpOps(fq_params)
+    c1, c2 = host_ext.frob_table_fp3(p, nr3)
+    fq3 = CubicExtOps(f"{fq_params.name}3", base, nr3, c1, c2)
+    c1_6 = host_ext.frob_table_fp6_2over3(p, nr3)
+    fq6 = QuadExtOps(f"{fq_params.name}6", fq3, [0, 1, 0],
+                     [[c, 0, 0] for c in c1_6])
+    return base, fq3, fq6
+
+
+def build_bls12_towers(fq_params: FpParams, nr2: int, xi):
+    """BLS12 tower Fq -> Fq2 (X^2=nr) -> Fq6 (V^3=xi) -> Fq12 (W^2=V)."""
+    p = fq_params.modulus
+    base = FpOps(fq_params)
+    fq2 = QuadExtOps(f"{fq_params.name}2", base, nr2,
+                     host_ext.frob_table_fp2(p, nr2))
+    c1, c2 = host_ext.frob_table_fp6_3over2(p, nr2, xi)
+    fq6 = CubicExtOps(f"{fq_params.name}6", fq2, list(xi),
+                      [list(c) for c in c1], [list(c) for c in c2])
+    c1_12 = host_ext.frob_table_fp12(p, nr2, xi)
+    # Fq12 nonresidue is V = (0,0,1,0,0,0) in flat Fq6 components; its
+    # frobenius coeffs are Fq2 values embedded as (c, 0, 0) in Fq6.
+    fq12 = QuadExtOps(f"{fq_params.name}12", fq6, [0, 0, 1, 0, 0, 0],
+                      [[list(c), [0, 0], [0, 0]] for c in c1_12])
+    return base, fq2, fq6, fq12

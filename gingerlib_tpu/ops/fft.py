@@ -1,0 +1,204 @@
+"""Radix-2 evaluation domains over prime scalar fields.
+
+Replaces the reference's EvaluationDomain (algebra/src/fft/domain.rs:20-416)
+with a TPU-native design:
+
+* reshape-based radix-2 FFT: ``log2(m)`` decimation steps (pure strided
+  slicing — no bit-reverse scatter) followed by ``log2(m)`` combine stages,
+  each ONE batched Montgomery multiply of m/2 elements plus add/sub.  This
+  is the Stockham-flavoured replacement for serial_fft's butterfly loop
+  (domain.rs:315-358); the per-stage full-array op is exactly what the VPU
+  wants, and sharded along the element axis the combine becomes a psum-free
+  local op with an all-to-all every few stages (see parallel/).
+* twiddle tables are built on device in log(m) doubling steps (only log(m)
+  host exponentiations), cached per (field, m),
+* coset FFTs via distribute_powers (domain.rs:140-179); vanishing-poly
+  division on a coset is a single constant multiply since Z(g·ω^j) = g^m - 1
+  (domain.rs:222-256).
+
+Elements: Montgomery digit arrays [..., m, n_digits]; the element axis is
+axis -2.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..fields import fp as fpmod
+from ..fields.fp import FpParams
+from ..ops import limbs
+
+
+class Domain:
+    """Radix-2 multiplicative subgroup domain of size m = 2^lg (<= 2-adicity).
+
+    cf. EvaluationDomain::new (domain.rs:65-94).
+    """
+
+    def __init__(self, params: FpParams, size: int):
+        m = 1
+        lg = 0
+        while m < size:
+            m <<= 1
+            lg += 1
+        if lg > params.two_adicity:
+            raise ValueError(
+                f"domain size 2^{lg} exceeds two-adicity "
+                f"{params.two_adicity} of {params.name}")
+        self.params = params
+        self.size = m
+        self.lg = lg
+        p = params.modulus
+        # group generator: root_of_unity^(2^(two_adicity - lg))
+        self.gen = pow(params.root_of_unity, 1 << (params.two_adicity - lg), p)
+        self.gen_inv = pow(self.gen, -1, p) if m > 1 else 1
+        self.size_inv = pow(m, -1, p)
+        # coset shift = field multiplicative generator (domain.rs:154 uses
+        # F::multiplicative_generator())
+        self.coset_shift = params.generator
+        self.coset_shift_inv = pow(self.coset_shift, -1, p)
+        # Z(coset) = g^m - 1, constant across the coset
+        self.z_coset = (pow(self.coset_shift, m, p) - 1) % p
+        self.z_coset_inv = pow(self.z_coset, -1, p)
+
+    # ------------------------------------------------------------------
+    # twiddle construction (device, cached per domain)
+    # ------------------------------------------------------------------
+
+    @functools.cached_property
+    def _twiddles(self):
+        return _build_powers(self.params, self.gen, self.size // 2)
+
+    @functools.cached_property
+    def _inv_twiddles(self):
+        return _build_powers(self.params, self.gen_inv, self.size // 2)
+
+    # ------------------------------------------------------------------
+    # transforms
+    # ------------------------------------------------------------------
+
+    def fft(self, coeffs):
+        """coeffs [..., m, nd] (Montgomery) -> evaluations at ω^j."""
+        return _fft_core(self.params, coeffs, self._twiddles)
+
+    def ifft(self, evals):
+        out = _fft_core(self.params, evals, self._inv_twiddles)
+        scale = fpmod.fp_from_int(self.params, self.size_inv)
+        return fpmod.mont_mul(self.params, out, jnp.asarray(scale))
+
+    def distribute_powers(self, x, base: int):
+        """x_i *= base^i (domain.rs:140). base is a host int."""
+        powers = _build_powers(self.params, base, self.size)
+        return fpmod.mont_mul(self.params, x, powers)
+
+    def coset_fft(self, coeffs):
+        return self.fft(self.distribute_powers(coeffs, self.coset_shift))
+
+    def coset_ifft(self, evals):
+        return self.distribute_powers(self.ifft(evals),
+                                      self.coset_shift_inv)
+
+    def divide_by_vanishing_poly_on_coset(self, evals):
+        """evals on coset / Z(x) — constant multiply (domain.rs:245-256)."""
+        c = fpmod.fp_from_int(self.params, self.z_coset_inv)
+        return fpmod.mont_mul(self.params, evals, jnp.asarray(c))
+
+    def mul_in_evaluation_domain(self, a, b):
+        """pointwise product (domain.rs:289)."""
+        return fpmod.mont_mul(self.params, a, b)
+
+    # ------------------------------------------------------------------
+    # lagrange / vanishing evaluation at an arbitrary point
+    # ------------------------------------------------------------------
+
+    def evaluate_vanishing_polynomial(self, tau: int) -> int:
+        return (pow(tau, self.size, self.params.modulus) - 1) \
+            % self.params.modulus
+
+    def evaluate_all_lagrange_coefficients(self, tau: int):
+        """l_i(tau) for all i, as Montgomery digit array [m, nd].
+
+        l_i(tau) = Z(tau) * ω^i / (m * (tau - ω^i))  (domain.rs:183-219).
+        Fully batched: one Fermat inversion chain on device.
+        """
+        P = self.params
+        p = P.modulus
+        m = self.size
+        z = self.evaluate_vanishing_polynomial(tau)
+        if z == 0:
+            # tau in the domain: l_i = 1 at the matching i else 0
+            out = np.zeros((m, P.n_digits), np.uint32)
+            w = 1
+            for i in range(m):
+                if w == tau % p:
+                    out[i] = fpmod.fp_from_int(P, 1)
+                w = w * self.gen % p
+            return jnp.asarray(out)
+        omega_pows = _build_powers(P, self.gen, m)
+        tau_d = jnp.asarray(fpmod.fp_from_int(P, tau))
+        denom = fpmod.sub_mod(P, jnp.broadcast_to(tau_d, omega_pows.shape),
+                              omega_pows)
+        denom_inv = fpmod.inv_mod(P, denom)
+        zi = z * pow(m, -1, p) % p
+        num = fpmod.mont_mul(
+            P, omega_pows, jnp.asarray(fpmod.fp_from_int(P, zi)))
+        return fpmod.mont_mul(P, num, denom_inv)
+
+
+def _build_powers(params: FpParams, base: int, n: int):
+    """[1, base, base^2, ..., base^(n-1)] as Montgomery digits [n, nd].
+
+    Host-side sequential modmul (≈1µs/element with bulk byte conversion) —
+    domain setup cost, off the hot path, and avoids per-shape device
+    compiles.
+    """
+    if n == 0:
+        return jnp.zeros((0, params.n_digits), jnp.uint32)
+    p = params.modulus
+    out = []
+    w = 1
+    for _ in range(n):
+        out.append(w)
+        w = w * base % p
+    return jnp.asarray(fpmod.fp_from_ints(params, out))
+
+
+def _fft_core(params: FpParams, x, twiddles):
+    """Radix-2 DIT FFT. x: [..., m, nd]; twiddles: [m/2, nd] powers of ω."""
+    m = x.shape[-2]
+    if m == 1:
+        return x
+    lg = m.bit_length() - 1
+    batch = x.shape[:-2]
+    nd = x.shape[-1]
+
+    # decimation: after d steps shape [..., 2^d, m/2^d, nd]; the group axis
+    # indexes subsequences by bit-reversed low bits of the original index.
+    y = x.reshape(*batch, 1, m, nd)
+    for _ in range(lg):
+        g, h = y.shape[-3], y.shape[-2]
+        even = y[..., 0::2, :]
+        odd = y[..., 1::2, :]
+        # parent-major ordering: [g0e, g0o, g1e, g1o, ...] so that the
+        # combine stages pair adjacent groups per recursion-tree parent
+        y = jnp.stack([even, odd], axis=-3) \
+            .reshape(*batch, 2 * g, h // 2, nd)
+
+    # combine: at stage with half-length h, twiddle_j = ω^(j * m/(2h))
+    for s in range(lg):
+        g, h = y.shape[-3], y.shape[-2]
+        y = y.reshape(*batch, g // 2, 2, h, nd)
+        E = y[..., 0, :, :]
+        O = y[..., 1, :, :]
+        stride = m // (2 * h)
+        w = twiddles[0:m // 2:stride]  # [h, nd]
+        t = fpmod.mont_mul(params, O, w)
+        top = fpmod.add_mod(params, E, t)
+        bot = fpmod.sub_mod(params, E, t)
+        y = jnp.concatenate([top, bot], axis=-2) \
+            .reshape(*batch, g // 2, 2 * h, nd)
+    return y.reshape(*batch, m, nd)

@@ -52,11 +52,12 @@ def to_digits(x: int, n: int) -> np.ndarray:
 
 
 def to_digits_batch(xs, n: int) -> np.ndarray:
+    """Fast bulk conversion: int.to_bytes + frombuffer (≈1µs/element)."""
     xs = list(xs)
-    out = np.zeros((len(xs), n), dtype=np.uint32)
-    for i, x in enumerate(xs):
-        out[i] = to_digits(int(x), n)
-    return out
+    nbytes = 2 * n
+    buf = b"".join(int(x).to_bytes(nbytes, "little") for x in xs)
+    return (np.frombuffer(buf, dtype="<u2")
+            .reshape(len(xs), n).astype(np.uint32))
 
 
 def from_digits(d) -> int:
@@ -71,26 +72,48 @@ def from_digits(d) -> int:
 
 
 def from_digits_batch(d) -> list:
+    """Fast bulk conversion via tobytes + int.from_bytes."""
     d = np.asarray(d)
-    flat = d.reshape(-1, d.shape[-1])
-    return [from_digits(row) for row in flat]
+    flat = d.reshape(-1, d.shape[-1]).astype("<u2")
+    nbytes = 2 * flat.shape[-1]
+    raw = flat.tobytes()
+    return [int.from_bytes(raw[i * nbytes:(i + 1) * nbytes], "little")
+            for i in range(flat.shape[0])]
 
 
 # ---------------------------------------------------------------------------
 # carry handling
 # ---------------------------------------------------------------------------
 
+def _carry_lookahead(d):
+    """Exact carry resolution for digits <= 2^17 - 1 (carries in {0,1}).
+
+    Kogge-Stone generate/propagate with a log-depth associative scan — no
+    sequential digit loop, fully vectorized across batch and digits (the
+    TPU-native replacement for the reference's adc ripple chain,
+    biginteger/mod.rs:112).  Returns (digits < 2^16, carry_out_of_last).
+    """
+    g = d >> DIGIT_BITS            # 1 where digit >= 2^16 (generates)
+    p = (d == DIGIT_MASK)          # propagates an incoming carry
+
+    def comb(x, y):
+        gx, px = x
+        gy, py = y
+        return gy | (py.astype(gy.dtype) & gx), px & py
+
+    G, _ = lax.associative_scan(comb, (g, p), axis=-1)
+    c = jnp.concatenate([jnp.zeros_like(G[..., :1]), G[..., :-1]], axis=-1)
+    out = (d + c) & DIGIT_MASK
+    return out, G[..., -1]
+
+
 def normalize(x, out_digits: int | None = None):
     """Propagate carries so every digit is < 2^16.
 
-    ``x``: uint32 digits with values up to < 2^32 - 2^16 (any redundant
+    ``x``: uint32 digits with values up to 2^32 - 2^16 (any redundant
     representation produced by our adds/muls).  Returns uint32 array of shape
     [..., out_digits].  Overflow past the last digit is discarded (mod 2^16k),
     matching fixed-width bigint semantics (biginteger/mod.rs add_nocarry).
-
-    Implementation: two local split passes shrink carries to <= 1, then an
-    exact sequential scan resolves ripple chains.  The scan runs along the
-    digit axis (tiny: <= 2n steps) and is vectorized across the batch.
     """
     n = x.shape[-1]
     if out_digits is None:
@@ -109,17 +132,8 @@ def normalize(x, out_digits: int | None = None):
             [jnp.zeros_like(hi[..., :1]), hi[..., :-1]], axis=-1)
         return lo + hi
 
-    x = split(split(x))  # now digits < 2^16 + 1ish, carries in {0,1}
-
-    # exact ripple pass via scan over the digit axis
-    xt = jnp.moveaxis(x, -1, 0)  # [n, ...]
-
-    def step(carry, digit):
-        s = digit + carry
-        return s >> DIGIT_BITS, s & DIGIT_MASK
-
-    _, yt = lax.scan(step, jnp.zeros_like(xt[0]), xt)
-    y = jnp.moveaxis(yt, 0, -1)
+    x = split(split(x))  # digits now <= 2^16, carries in {0,1}
+    y, _ = _carry_lookahead(x)
     return y[..., :out_digits]
 
 
@@ -136,18 +150,15 @@ def add(a, b, out_digits: int | None = None):
 def sub_with_borrow(a, b):
     """a - b for normalized inputs. Returns (diff mod 2^16n, borrow_out).
 
-    borrow_out is 1 where b > a (uint32 per batch element).
+    borrow_out is 1 where b > a (uint32 per batch element).  Implemented as
+    a + ~b + 1 with log-depth carry lookahead (two's complement in base
+    2^16) — no sequential borrow chain.
     """
-    at = jnp.moveaxis(a, -1, 0)
-    bt = jnp.moveaxis(b, -1, 0)
-
-    def step(borrow, ab):
-        ai, bi = ab
-        s = ai + DIGIT_BASE - bi - borrow
-        return 1 - (s >> DIGIT_BITS), s & DIGIT_MASK
-
-    borrow, yt = lax.scan(step, jnp.zeros_like(at[0]), (at, bt))
-    return jnp.moveaxis(yt, 0, -1), borrow
+    a, b = jnp.broadcast_arrays(a, b)
+    s = a + (DIGIT_MASK - b)              # digits <= 2^17 - 2
+    s = jnp.concatenate([s[..., :1] + 1, s[..., 1:]], axis=-1)  # two's comp +1
+    y, carry_out = _carry_lookahead(s)
+    return y, (1 - carry_out).astype(jnp.uint32)
 
 
 def geq(a, b):

@@ -1,0 +1,127 @@
+"""Byte serialization, bit-compatible with the reference's ToBytes/FromBytes.
+
+Formats (must be byte-identical for cross-validation against Rust):
+* Fp element: little-endian bytes of the *standard-form* integer
+  (fp_768.rs:784-787 writes into_repr()), width = 8·ceil(bits/64) bytes
+  (the reference's u64 limb count — note this differs from our 16-bit digit
+  count for 298/782-bit fields).
+* extension elements: components in order (low first).
+* SW affine point: x ‖ y ‖ infinity u8 (short_weierstrass_*.rs:185-200);
+  the affine zero is (0, 1, infinity=true).
+* Proof: a ‖ b ‖ c (groth16/mod.rs:35-54).
+* VerifyingKey: alpha_g1_beta_g2 ‖ gamma_g2 ‖ delta_g2 ‖ u32-BE count ‖
+  gamma_abc points (groth16/mod.rs:104-132).
+
+All host-side (numpy/python ints): serialization is not a hot path.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from ..fields import fp as fpmod
+from ..fields.fp import FpParams
+
+
+def _ref_width(params: FpParams) -> int:
+    return 8 * (-(-params.modulus_bits // 64))
+
+
+def fp_to_bytes(params: FpParams, mont_digits) -> bytes:
+    v = fpmod.fp_to_int(params, np.asarray(mont_digits))
+    return v.to_bytes(_ref_width(params), "little")
+
+
+def fp_from_bytes(params: FpParams, data: bytes, offset: int = 0):
+    w = _ref_width(params)
+    v = int.from_bytes(data[offset:offset + w], "little")
+    if v >= params.modulus:
+        raise ValueError("field element not in range")
+    return fpmod.fp_from_int(params, v), offset + w
+
+
+def ext_to_bytes(ops, elem) -> bytes:
+    elem = np.asarray(elem)
+    return b"".join(fp_to_bytes(ops.fp, elem[i]) for i in range(ops.K))
+
+
+def ext_from_bytes(ops, data: bytes, offset: int = 0):
+    comps = []
+    for _ in range(ops.K):
+        c, offset = fp_from_bytes(ops.fp, data, offset)
+        comps.append(c)
+    return np.stack(comps), offset
+
+
+def affine_to_bytes(curve, xy, infinity: bool = False) -> bytes:
+    x, y = xy
+    if infinity:
+        # reference affine zero: x = 0, y = 1 (GroupAffine::zero)
+        zero = np.zeros((curve.F.K, curve.fp.n_digits), np.uint32)
+        return (ext_to_bytes(curve.F, zero) +
+                ext_to_bytes(curve.F, curve.F.one()) + b"\x01")
+    return (ext_to_bytes(curve.F, np.asarray(x)) +
+            ext_to_bytes(curve.F, np.asarray(y)) + b"\x00")
+
+
+def affine_from_bytes(curve, data: bytes, offset: int = 0):
+    x, offset = ext_from_bytes(curve.F, data, offset)
+    y, offset = ext_from_bytes(curve.F, data, offset)
+    inf = data[offset] == 1
+    offset += 1
+    return (x, y, inf), offset
+
+
+def proof_to_bytes(engine, proof) -> bytes:
+    g1, g2 = engine.g1, engine.g2
+    return (affine_to_bytes(g1, proof.a) + affine_to_bytes(g2, proof.b) +
+            affine_to_bytes(g1, proof.c))
+
+
+def proof_from_bytes(engine, data: bytes):
+    from ..proofs.groth16 import Proof
+    import jax.numpy as jnp
+    (ax, ay, _), off = affine_from_bytes(engine.g1, data, 0)
+    (bx, by, _), off = affine_from_bytes(engine.g2, data, off)
+    (cx, cy, _), off = affine_from_bytes(engine.g1, data, off)
+    j = jnp.asarray
+    return Proof(a=(j(ax), j(ay)), b=(j(bx), j(by)), c=(j(cx), j(cy))), off
+
+
+def vk_to_bytes(engine, vk) -> bytes:
+    g1, g2 = engine.g1, engine.g2
+    out = [ext_to_bytes(engine.fqk, np.asarray(vk.alpha_g1_beta_g2))]
+    out.append(affine_to_bytes(g2, vk.gamma_g2))
+    out.append(affine_to_bytes(g2, vk.delta_g2))
+    xs, ys = vk.gamma_abc_g1
+    n = np.asarray(xs).shape[0]
+    out.append(struct.pack(">I", n))
+    for i in range(n):
+        out.append(affine_to_bytes(g1, (np.asarray(xs)[i],
+                                        np.asarray(ys)[i])))
+    return b"".join(out)
+
+
+def vk_from_bytes(engine, data: bytes):
+    from ..proofs.groth16 import VerifyingKey
+    import jax.numpy as jnp
+    gt, off = ext_from_bytes(engine.fqk, data, 0)
+    (gx, gy, _), off = affine_from_bytes(engine.g2, data, off)
+    (dx, dy, _), off = affine_from_bytes(engine.g2, data, off)
+    (n,) = struct.unpack(">I", data[off:off + 4])
+    off += 4
+    xs, ys = [], []
+    for _ in range(n):
+        (x, y, inf), off = affine_from_bytes(engine.g1, data, off)
+        if inf:
+            raise ValueError("point at infinity in gamma_abc")
+        xs.append(x)
+        ys.append(y)
+    return VerifyingKey(
+        alpha_g1_beta_g2=jnp.asarray(gt),
+        gamma_g2=(jnp.asarray(gx), jnp.asarray(gy)),
+        delta_g2=(jnp.asarray(dx), jnp.asarray(dy)),
+        gamma_abc_g1=(jnp.asarray(np.stack(xs)), jnp.asarray(np.stack(ys))),
+    ), off

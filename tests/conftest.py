@@ -1,7 +1,10 @@
 import os
 
-# Must run before jax import: 8 virtual CPU devices for sharding tests.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The sandbox globally sets JAX_PLATFORMS=axon (remote TPU tunnel) — tests
+# must run on local CPU with 8 virtual devices for sharding coverage.
+# Device->host transfers over the tunnel are ~seconds each; CPU is also the
+# only way to simulate an 8-device mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -9,4 +12,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_default_prng_impl", "rbg")
+jax.config.update("jax_platforms", "cpu")
+# The sandbox has ONE cpu core: XLA:CPU's LLVM pipeline compiles our big
+# integer graphs at ~50 HLO/s with full optimization.  Disabling most
+# optimizations is ~10x faster to compile and plenty fast to run for tests.
+jax.config.update("jax_disable_most_optimizations", True)
+# persistent compilation cache: big scan-heavy graphs (inv/sqrt/pairing)
+# compile once across test runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/gingerlib_jax_cache2")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

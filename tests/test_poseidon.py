@@ -1,0 +1,79 @@
+"""Poseidon: bit-exact anchors vs reference constants.
+
+AFTER_ZERO_PERM (parameters.rs:28-32) pins the permutation; the phantom
+Merkle root (field_based_mht/mod.rs:300-315) pins the sponge/evaluate path.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gingerlib_tpu import params as PP
+from gingerlib_tpu.fields import fp
+from gingerlib_tpu.primitives.poseidon import PoseidonParams, PoseidonHash
+
+
+@pytest.fixture(scope="module")
+def h4():
+    return PoseidonHash(PoseidonParams.mnt4753())
+
+
+@pytest.fixture(scope="module")
+def h6():
+    return PoseidonHash(PoseidonParams.mnt6753())
+
+
+def test_after_zero_perm_mnt4(h4):
+    zero = jnp.zeros((1, 3, h4.F.n_digits), jnp.uint32)
+    out = jax.jit(h4.permute)(zero)
+    assert np.array_equal(np.asarray(out[0]),
+                          np.asarray(h4.p.after_zero_perm))
+
+
+@pytest.mark.slow
+def test_after_zero_perm_mnt6(h6):
+    zero = jnp.zeros((1, 3, h6.F.n_digits), jnp.uint32)
+    out = jax.jit(h6.permute)(zero)
+    assert np.array_equal(np.asarray(out[0]),
+                          np.asarray(h6.p.after_zero_perm))
+
+
+def test_phantom_merkle_root(h4):
+    from gingerlib_tpu.params._gen.merkle_gen import \
+        MNT4753_PHANTOM_MERKLE_ROOT
+    field_bytes = (753 + 15) // 8  # size_in_bits + REPR_SHAVE_BITS (= 96)
+    magic = b"This represents an empty Merkle Root for a " \
+            b"MNT4753PoseidonHash based Merkle Tree."
+    data = magic + b"\x00" * (field_bytes - len(magic))
+    x = int.from_bytes(data, "little")
+    out = h4.evaluate_ints([[x]])
+    assert out[0] == MNT4753_PHANTOM_MERKLE_ROOT
+
+
+def test_batch_matches_single(h4):
+    """batch hashing == per-element hashing (poseidon/mod.rs:707-941)."""
+    fr = h4.F
+    vals = [[3, 5], [7, 11], [13, 17], [0, 0]]
+    batch = h4.evaluate_ints(vals)
+    singles = [h4.evaluate_ints([v])[0] for v in vals]
+    assert batch == singles
+
+
+def test_multi_chunk_and_remainder(h4):
+    """3 inputs = one full rate chunk + remainder (mod.rs:603-612)."""
+    out3 = h4.evaluate_ints([[1, 2, 3]])
+    out2 = h4.evaluate_ints([[1, 2]])
+    assert out3 != out2  # distinct absorb paths
+    # deterministic
+    assert out3 == h4.evaluate_ints([[1, 2, 3]])
+
+
+def test_zero_sbox_lanes(h4):
+    """zero state elements must stay zero through the x^-1 S-box."""
+    fr = h4.F
+    st = np.zeros((1, 3, fr.n_digits), np.uint32)
+    st[0, 1] = fp.fp_from_int(fr, 5)
+    out = jax.jit(h4._sbox_full)(jnp.asarray(st))
+    assert (np.asarray(out)[0, 0] == 0).all()
+    assert fp.fp_to_int(fr, np.asarray(out)[0, 1]) == pow(5, -1, fr.modulus)

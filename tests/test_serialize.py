@@ -1,0 +1,65 @@
+"""Byte-format tests vs reference conventions (bytes.rs, groth16/mod.rs)."""
+
+import numpy as np
+import pytest
+
+from gingerlib_tpu import params as PP
+from gingerlib_tpu.fields import fp
+from gingerlib_tpu.curves import instances as CI
+from gingerlib_tpu.utils import serialize as S
+
+
+def test_fp_bytes_little_endian_standard_form():
+    P = PP.MNT4753_FQ
+    v = 0x0123456789ABCDEF
+    d = fp.fp_from_int(P, v)
+    raw = S.fp_to_bytes(P, d)
+    assert len(raw) == 96  # 12 u64 limbs
+    assert int.from_bytes(raw, "little") == v  # standard form, not Montgomery
+    back, off = S.fp_from_bytes(P, raw)
+    assert off == 96
+    assert np.array_equal(back, d)
+
+
+def test_fp_bytes_width_uses_reference_limbs():
+    # 298-bit field: 5 u64 limbs = 40 bytes (our digit count is 19*2=38)
+    P = PP.MNT6298_FQ
+    raw = S.fp_to_bytes(P, fp.fp_from_int(P, 7))
+    assert len(raw) == 40
+
+
+def test_fp_bytes_rejects_out_of_range():
+    P = PP.MNT4753_FQ
+    raw = (P.modulus + 1).to_bytes(96, "little")
+    with pytest.raises(ValueError):
+        S.fp_from_bytes(P, raw)
+
+
+def test_affine_roundtrip():
+    g1 = CI.bls12_377_g1()
+    gx, gy = g1.generator_affine
+    raw = S.affine_to_bytes(g1, (gx, gy))
+    assert len(raw) == 48 * 2 + 1
+    (x, y, inf), off = S.affine_from_bytes(g1, raw)
+    assert not inf and off == len(raw)
+    assert np.array_equal(x, np.asarray(gx))
+    assert np.array_equal(y, np.asarray(gy))
+
+
+def test_affine_infinity_convention():
+    g1 = CI.bls12_377_g1()
+    raw = S.affine_to_bytes(g1, (None, None), infinity=True)
+    # reference zero: x=0, y=1, infinity=1
+    (x, y, inf), _ = S.affine_from_bytes(g1, raw)
+    assert inf
+    assert (np.asarray(x) == 0).all()
+    assert fp.fp_to_int(g1.fp, np.asarray(y)[0]) == 1
+
+
+def test_g2_affine_roundtrip():
+    g2 = CI.mnt4753_g2()
+    gx, gy = g2.generator_affine
+    raw = S.affine_to_bytes(g2, (gx, gy))
+    assert len(raw) == 96 * 4 + 1  # two Fq2 elements
+    (x, y, inf), _ = S.affine_from_bytes(g2, raw)
+    assert np.array_equal(x, np.asarray(gx)) and not inf
