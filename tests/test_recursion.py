@@ -1,0 +1,83 @@
+"""Recursive composition: a real MNT4-753 Groth16 proof verified inside a
+circuit over MNT4-753's Fq (= MNT6-753's Fr) — one step of the cycle
+(nizk/groth16/mod.rs:517).  All host-side.
+"""
+
+import pytest
+
+from gingerlib_tpu import params as PP
+from gingerlib_tpu.relations.r1cs import ConstraintSystem, LinearCombination
+from gingerlib_tpu.proofs.groth16_host import host_groth16_mnt4753
+from gingerlib_tpu.gadgets.crypto.nizk import mnt4753_verifier_gadget
+
+
+def _mul_circuit(field, a_val=None, b_val=None):
+    cs = ConstraintSystem(field)
+    c_val = None if a_val is None else a_val * b_val % field.modulus
+    c = cs.alloc_input("c", c_val)
+    a = cs.alloc("a", a_val)
+    b = cs.alloc("b", b_val)
+    cs.enforce(LinearCombination.of(a), LinearCombination.of(b),
+               LinearCombination.of(c), "a*b=c")
+    return cs
+
+
+@pytest.fixture(scope="module")
+def inner():
+    """Host Groth16 over MNT4-753: setup + proof for 7*11 = 77."""
+    H = host_groth16_mnt4753()
+    fr = PP.MNT4753_FR
+    cs = _mul_circuit(fr, 7, 11)
+    assert cs.is_satisfied()
+    params = H.setup(cs, alpha=1234, beta=5678, gamma=9101, delta=1121,
+                     t=31415)
+    proof = H.prove(cs, params, r=171717, s=282828)
+    assert H.verify(params, proof, [77])
+    assert not H.verify(params, proof, [78])
+    return H, params, proof
+
+
+def _vk_host_dict(params):
+    vk = params.vk
+    return {
+        "alpha_g1_beta_g2": vk["alpha_g1_beta_g2"],
+        "gamma_g2": vk["gamma_g2"],
+        "delta_g2": vk["delta_g2"],
+        "gamma_abc": vk["gamma_abc"],
+    }
+
+
+@pytest.mark.slow
+def test_recursive_verifier_gadget_satisfiable(inner):
+    H, params, proof = inner
+    vg = mnt4753_verifier_gadget()
+    # circuit over mnt4753 Fq = mnt6753 Fr — the recursion field
+    cs = ConstraintSystem(PP.MNT4753_FQ)
+    vkg = vg.alloc_vk(cs, _vk_host_dict(params))
+    proofg = vg.alloc_proof(cs, proof)
+    nbits = PP.MNT4753_FR.modulus_bits
+    bits = vg.alloc_input_bits(cs, 77, nbits, "x")
+    vg.check_verify(cs, vkg, [bits], proofg)
+    bad = cs.which_is_unsatisfied()
+    assert bad is None, f"unsatisfied at: {bad}"
+    print(f"verifier circuit: {cs.num_constraints} constraints, "
+          f"{cs.num_variables} variables")
+
+
+@pytest.mark.slow
+def test_recursive_verifier_gadget_rejects_bad_input(inner):
+    H, params, proof = inner
+    vg = mnt4753_verifier_gadget()
+    cs = ConstraintSystem(PP.MNT4753_FQ)
+    vkg = vg.alloc_vk(cs, _vk_host_dict(params))
+    proofg = vg.alloc_proof(cs, proof)
+    nbits = PP.MNT4753_FR.modulus_bits
+    bits = vg.alloc_input_bits(cs, 78, nbits, "x")  # wrong public input
+    vg.check_verify(cs, vkg, [bits], proofg)
+    assert cs.which_is_unsatisfied() is not None
+
+
+def test_host_groth16_roundtrip(inner):
+    """inner fixture exercises setup/prove/verify + negative case."""
+    H, params, proof = inner
+    assert proof["a"] is not None and proof["c"] is not None
