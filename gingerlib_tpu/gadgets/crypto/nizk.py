@@ -68,8 +68,7 @@ class Groth16VerifierGadget:
         assert len(public_input_bits) == len(vk["gamma_abc"]) - 1
         for i, bits in enumerate(public_input_bits):
             base = vk["gamma_abc"][i + 1]
-            g_ic = self._mul_bits_var_base(cs, base, g_ic, bits,
-                                           f"{name}/in{i}")
+            g_ic = self.g1.mul_bits(cs, base, g_ic, bits, f"{name}/in{i}")
 
         neg_gamma = self.g2.neg(cs, vk["gamma_g2"])
         neg_delta = self.g2.neg(cs, vk["delta_g2"])
@@ -82,20 +81,6 @@ class Groth16VerifierGadget:
         self.fqk.enforce_equal(cs, gt, vk["alpha_g1_beta_g2"],
                                f"{name}/gt_eq")
 
-    def _mul_bits_var_base(self, cs, base: AffinePointG, acc: AffinePointG,
-                           bits_lsb, name):
-        """GroupGadget::mul_bits (groups/mod.rs:76-95): variable base,
-        in-circuit doubling chain, LSB-first bits; acc must not be the
-        identity and the chain must avoid exceptional additions (holds with
-        overwhelming probability for honest vk/proofs)."""
-        power = base
-        result = acc
-        for i, bit in enumerate(bits_lsb):
-            added = self.g1.add(cs, result, power, f"{name}/add{i}")
-            result = self.g1.cond_select(cs, bit, added, result,
-                                         f"{name}/sel{i}")
-            power = self.g1.double(cs, power, f"{name}/dbl{i}")
-        return result
 
 
 def mnt4753_verifier_gadget():

@@ -184,6 +184,21 @@ class SWGroupGadget:
 
     # -- scalar multiplication over booleans --
 
+    def mul_bits(self, cs, base: AffinePointG, acc: AffinePointG, bits_lsb,
+                 name="mulbits") -> AffinePointG:
+        """Variable-base: acc + Σ bit_i·2^i·base with an in-circuit doubling
+        chain (GroupGadget::mul_bits, groups/mod.rs:76-95).  acc must not be
+        the identity; exceptional additions are the caller's concern."""
+        power = base
+        result = acc
+        for i, bit in enumerate(bits_lsb):
+            added = self.add(cs, result, power, f"{name}/add{i}")
+            result = self.cond_select(cs, bit, added, result,
+                                      f"{name}/sel{i}")
+            if i + 1 < len(bits_lsb):
+                power = self.double(cs, power, f"{name}/dbl{i}")
+        return result
+
     def mul_bits_const_base(self, cs, base_xy, bits_lsb, acc: AffinePointG,
                             name="mulbits") -> AffinePointG:
         """acc + Σ bit_i · 2^i · base  with a *constant* base: the doubling

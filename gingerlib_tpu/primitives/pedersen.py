@@ -14,13 +14,12 @@ import jax.numpy as jnp
 
 
 def _bytes_to_bits(data: bytes):
-    """LE-bit order per byte (primitives/src/lib.rs bytes_to_bits... the
-    reference iterates bits MSB-first per byte: `for i in 0..8 { byte >> (7-i) }`
-    — check: bytes_to_bits pushes (byte >> (7 - i)) & 1, i.e. MSB first."""
+    """LSB-first per byte (primitives/src/lib.rs:97-106 pushes
+    (byte >> i) & 1 for i in 0..8)."""
     out = []
     for byte in data:
         for i in range(8):
-            out.append((byte >> (7 - i)) & 1)
+            out.append((byte >> i) & 1)
     return out
 
 
