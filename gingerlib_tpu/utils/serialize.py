@@ -74,6 +74,91 @@ def affine_from_bytes(curve, data: bytes, offset: int = 0):
     return (x, y, inf), offset
 
 
+# ---------------------------------------------------------------------------
+# compressed bit serialization (ToCompressedBits / FromCompressedBits,
+# short_weierstrass_projective.rs:205-268; write_bits fields/mod.rs:264-285)
+# ---------------------------------------------------------------------------
+
+def fp_write_bits(params: FpParams, v: int):
+    """big-endian bits of a standard-form element, MODULUS_BITS long."""
+    n = params.modulus_bits
+    return [bool((v >> (n - 1 - i)) & 1) for i in range(n)]
+
+
+def fp_read_bits(params: FpParams, bits) -> int:
+    if len(bits) > params.modulus_bits:
+        raise ValueError("bit vec longer than modulus bits")
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    if v >= params.modulus:
+        raise ValueError("element over the field modulus")
+    return v
+
+
+def point_compress(params: FpParams, xy_host, infinity: bool = False):
+    """G1 point (host ints) -> bit vec: x bits ‖ infinity ‖ y-parity."""
+    x = 0 if infinity else xy_host[0]
+    bits = fp_write_bits(params, x)
+    bits.append(bool(infinity))
+    bits.append((not infinity) and bool(xy_host[1] & 1))
+    return bits
+
+
+def point_decompress(params: FpParams, a: int, b: int, r: int, bits):
+    """bit vec -> affine host point or None (infinity); validates curve
+    membership and prime-order subgroup ([r]P == 0 via host EC)."""
+    parity = bool(bits[-1])
+    infinity = bool(bits[-2])
+    x = fp_read_bits(params, bits[:-2])
+    if infinity:
+        if parity or x != 0:
+            raise ValueError("invalid flags")
+        return None
+    p = params.modulus
+    rhs = (x * x % p * x + a * x + b) % p
+    y = _sqrt_mod(rhs, p)
+    if y is None:
+        raise ValueError("not on curve")
+    if bool(y & 1) != parity:
+        y = p - y
+    # subgroup check
+    from ..proofs.groth16_host import ec_mul, _FqWrap
+    from ..gadgets.std.ext_fields import FpGOps
+    F = FpGOps(_FqWrap(p))
+    if ec_mul(F, [a % p], ([x], [y]), r) is not None:
+        raise ValueError("not prime order")
+    return (x, y)
+
+
+def _sqrt_mod(v: int, p: int):
+    """Tonelli-Shanks on host ints."""
+    if v == 0:
+        return 0
+    if pow(v, (p - 1) // 2, p) != 1:
+        return None
+    if p % 4 == 3:
+        return pow(v, (p + 1) // 4, p)
+    # general T-S
+    q, s = p - 1, 0
+    while q % 2 == 0:
+        q //= 2
+        s += 1
+    z = 2
+    while pow(z, (p - 1) // 2, p) != p - 1:
+        z += 1
+    m, c, t, rr = s, pow(z, q, p), pow(v, q, p), pow(v, (q + 1) // 2, p)
+    while t != 1:
+        i, tt = 0, t
+        while tt != 1:
+            tt = tt * tt % p
+            i += 1
+        b = pow(c, 1 << (m - i - 1), p)
+        m, c = i, b * b % p
+        t, rr = t * c % p, rr * b % p
+    return rr
+
+
 def proof_to_bytes(engine, proof) -> bytes:
     g1, g2 = engine.g1, engine.g2
     return (affine_to_bytes(g1, proof.a) + affine_to_bytes(g2, proof.b) +
