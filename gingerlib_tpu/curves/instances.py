@@ -238,3 +238,62 @@ def mnt6298_g2() -> SWCurveOps:
                       cofactor=c["g2_cofactor"],
                       cofactor_inv=c["g2_cofactor_inv"],
                       scalar_field=PP.MNT6298_FR)
+
+
+# ---------------------------------------------------------------------------
+# Twisted Edwards instantiations (curves/{jubjub,edwards_bls12,edwards_sw6})
+# ---------------------------------------------------------------------------
+
+from .twisted_edwards import TECurveOps  # noqa: E402
+
+
+def _te(name, fq_params, fr_params, c) -> TECurveOps:
+    return TECurveOps(
+        name, T.FpOps(fq_params), c["a"], c["d"],
+        generator_host=(c["g_x"], c["g_y"]),
+        cofactor=c["cofactor"], cofactor_inv=c["cofactor_inv"],
+        scalar_field=fr_params,
+        mont_a=c["mont_a"], mont_b=c["mont_b"])
+
+
+@functools.lru_cache()
+def jubjub() -> TECurveOps:
+    """Jubjub over BLS12-381 Fr (algebra/src/curves/jubjub/mod.rs)."""
+    return _te("jubjub", PP.JUBJUB_FQ, PP.JUBJUB_FR, CG.JUBJUB)
+
+
+@functools.lru_cache()
+def edwards_bls12() -> TECurveOps:
+    """Edwards curve over BLS12-377 Fr (curves/edwards_bls12/mod.rs)."""
+    return _te("edwards_bls12", PP.EDWARDS_BLS12_FQ, PP.EDWARDS_BLS12_FR,
+               CG.EDWARDS_BLS12)
+
+
+@functools.lru_cache()
+def edwards_sw6() -> TECurveOps:
+    """Edwards curve over SW6 Fr = BLS12-377 Fq (curves/edwards_sw6/mod.rs)."""
+    return _te("edwards_sw6", PP.EDWARDS_SW6_FQ, PP.EDWARDS_SW6_FR,
+               CG.EDWARDS_SW6)
+
+
+# ---------------------------------------------------------------------------
+# BLS12 pairing engines (curves/models/bls12)
+# ---------------------------------------------------------------------------
+
+from .pairing_bls12 import Bls12Pairing  # noqa: E402
+
+
+@functools.lru_cache()
+def bls12_377_pairing() -> Bls12Pairing:
+    _, _, fq6, fq12 = bls12_377_towers()
+    c = CG.BLS12_377
+    return Bls12Pairing("bls12_377", bls12_377_g1(), bls12_377_g2(),
+                        fq6, fq12, c["x"], c["x_is_negative"], "D")
+
+
+@functools.lru_cache()
+def bls12_381_pairing() -> Bls12Pairing:
+    _, _, fq6, fq12 = bls12_381_towers()
+    c = CG.BLS12_381
+    return Bls12Pairing("bls12_381", bls12_381_g1(), bls12_381_g2(),
+                        fq6, fq12, c["x"], c["x_is_negative"], "M")

@@ -27,6 +27,8 @@ vectorized loop.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -203,10 +205,25 @@ class MNTPairing:
     # public API
     # ------------------------------------------------------------------
 
+    def gt_one(self):
+        """GT identity element (host constant)."""
+        return np.asarray(self.fqk.one())
+
+    @functools.cached_property
+    def _pairing_jit(self):
+        from ..jit_config import maybe_jit
+        return maybe_jit(lambda p, q: self.final_exponentiation(
+            self.miller_loop(p, q)))
+
+    @functools.cached_property
+    def _pop_jit(self):
+        from ..jit_config import maybe_jit
+        return maybe_jit(lambda p, q: self.final_exponentiation(
+            self.product_of_miller(self.miller_loop(p, q))))
+
     def pairing(self, p_affine, q_affine):
-        return self.final_exponentiation(self.miller_loop(p_affine, q_affine))
+        return self._pairing_jit(p_affine, q_affine)
 
     def product_of_pairings(self, p_affines, q_affines):
         """Batched pairs along axis 0 -> one GT element [K, nd]."""
-        f = self.miller_loop(p_affines, q_affines)
-        return self.final_exponentiation(self.product_of_miller(f))
+        return self._pop_jit(p_affines, q_affines)

@@ -22,15 +22,23 @@ class TECurveOps:
 
     def __init__(self, name, field_ops, a_host: int, d_host: int,
                  generator_host=None, cofactor: int = 1,
-                 scalar_field=None, cofactor_inv: int | None = None):
+                 scalar_field=None, cofactor_inv: int | None = None,
+                 mont_a: int | None = None, mont_b: int | None = None):
         self.name = name
         self.F = field_ops
         self.fp = field_ops.fp
+        self.a_host = a_host
+        self.d_host = d_host
         self.a = jnp.asarray(field_ops.const(a_host))
         self.d = jnp.asarray(field_ops.const(d_host))
         self.cofactor = cofactor
         self.cofactor_inv = cofactor_inv
         self.scalar_field = scalar_field
+        # birationally-equivalent Montgomery curve B·y² = x³ + A·x² + x
+        # (MontgomeryModelParameters, models/mod.rs:104-120) — used by the
+        # in-circuit Montgomery-ladder allocation trick
+        self.mont_a = mont_a
+        self.mont_b = mont_b
         if generator_host is not None:
             self.generator_affine = (
                 jnp.asarray(field_ops.const(generator_host[0])),

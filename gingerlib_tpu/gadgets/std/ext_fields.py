@@ -316,3 +316,18 @@ def build_mnt6_tower_gadgets(fq_params, nr3: int):
     c1_6 = host_ext.frob_table_fp6_2over3(p, nr3)
     fq6 = QuadExtG(fq3, [0, 1, 0], [[c, 0, 0] for c in c1_6])
     return base, fq3, fq6
+
+
+def build_bls12_tower_gadgets(fq_params, nr2: int, xi):
+    """Fq -> Fq2 (X²=nr2) -> Fq6 (V³=xi) -> Fq12 (W²=V), gadget/host
+    descriptors mirroring fields/towers.build_bls12_towers."""
+    p = fq_params.modulus
+    base = FpGOps(fq_params)
+    fq2 = QuadExtG(base, nr2, host_ext.frob_table_fp2(p, nr2))
+    c1, c2 = host_ext.frob_table_fp6_3over2(p, nr2, xi)
+    fq6 = CubicExtG(fq2, list(xi), [list(c) for c in c1],
+                    [list(c) for c in c2])
+    c1_12 = host_ext.frob_table_fp12(p, nr2, xi)
+    fq12 = QuadExtG(fq6, [0, 0, 1, 0, 0, 0],
+                    [[list(c), [0, 0], [0, 0]] for c in c1_12])
+    return base, fq2, fq6, fq12

@@ -133,13 +133,6 @@ class SWGroupGadget:
 
     # -- host-side mirrors for witness computation --
 
-    def _hmul(self, u, v):
-        raise NotImplementedError
-
-    def _host_field(self):
-        from ...fields import host_ext  # noqa
-        return None
-
     def _host_add(self, p, q):
         xv, yv = self._host_values(p)
         xq, yq = self._host_values(q)

@@ -157,14 +157,162 @@ def _build_powers(params: FpParams, base: int, n: int):
     compiles.
     """
     if n == 0:
-        return jnp.zeros((0, params.n_digits), jnp.uint32)
+        return np.zeros((0, params.n_digits), np.uint32)
+    # host numpy (NOT jnp): cached tables must never capture a jit trace
+    from .. import native
+    hf = native.host_field(params.modulus)
+    if hf is not None:
+        return np.ascontiguousarray(hf.powers_mont_digits(
+            base % params.modulus, n, params.n_digits))
     p = params.modulus
     out = []
     w = 1
     for _ in range(n):
         out.append(w)
         w = w * base % p
-    return jnp.asarray(fpmod.fp_from_ints(params, out))
+    return fpmod.fp_from_ints(params, out)
+
+
+class MixedRadixDomain:
+    """Mixed-radix domain of size m = 2^k · q^s (q a small prime with
+    q^s | (p-1)).
+
+    The reference snapshot only ships the radix-2 EvaluationDomain (README
+    advertises mixed-domain FFT, SURVEY.md divergence #1); this extends the
+    same reshape-style Cooley-Tukey to radix-q stages so MNT6-753 Fr
+    (two-adicity 15, but 5² | p-1) supports domains beyond 2^15 constraints.
+    Verified against the radix-2 domain on pow-2 sizes and against a naive
+    DFT on mixed sizes.
+    """
+
+    def __init__(self, params: FpParams, size: int, q: int = 5,
+                 q_adicity: int | None = None):
+        p = params.modulus
+        if q_adicity is None:
+            q_adicity = 0
+            t = p - 1
+            while t % q == 0:
+                t //= q
+                q_adicity += 1
+        best = None
+        for s in range(q_adicity + 1):
+            qs = q ** s
+            rest = -(-size // qs)
+            k = max(0, (rest - 1).bit_length())
+            if k > params.two_adicity:
+                continue
+            m = (1 << k) * qs
+            if m >= size and (best is None or m < best[0]):
+                best = (m, k, s)
+        if best is None:
+            raise ValueError(
+                f"no 2^k·{q}^s domain of size >= {size} in {params.name}")
+        m, k, s = best
+        self.params = params
+        self.size = m
+        self.factors = [2] * k + [q] * s  # decimation order
+        self.gen = pow(params.generator, (p - 1) // m, p)
+        self.gen_inv = pow(self.gen, -1, p) if m > 1 else 1
+        self.size_inv = pow(m, -1, p)
+        self.coset_shift = params.generator
+        self.coset_shift_inv = pow(self.coset_shift, -1, p)
+        self.z_coset = (pow(self.coset_shift, m, p) - 1) % p
+        self.z_coset_inv = pow(self.z_coset, -1, p)
+
+    @functools.cached_property
+    def _powers(self):
+        return _build_powers(self.params, self.gen, self.size)
+
+    @functools.cached_property
+    def _inv_powers(self):
+        return _build_powers(self.params, self.gen_inv, self.size)
+
+    def fft(self, coeffs):
+        return _fft_mixed(self.params, coeffs, self._powers, self.factors)
+
+    def ifft(self, evals):
+        out = _fft_mixed(self.params, evals, self._inv_powers, self.factors)
+        scale = fpmod.fp_from_int(self.params, self.size_inv)
+        return fpmod.mont_mul(self.params, out, jnp.asarray(scale))
+
+    # the coset / vanishing / lagrange machinery is radix-independent
+    distribute_powers = Domain.distribute_powers
+    coset_fft = Domain.coset_fft
+    coset_ifft = Domain.coset_ifft
+    divide_by_vanishing_poly_on_coset = \
+        Domain.divide_by_vanishing_poly_on_coset
+    mul_in_evaluation_domain = Domain.mul_in_evaluation_domain
+    evaluate_vanishing_polynomial = Domain.evaluate_vanishing_polynomial
+    evaluate_all_lagrange_coefficients = \
+        Domain.evaluate_all_lagrange_coefficients
+
+
+def best_domain(params: FpParams, size: int, q: int = 5):
+    """Radix-2 domain when it fits the field's two-adicity, else the
+    mixed-radix extension."""
+    lg = max(0, (size - 1).bit_length())
+    if lg <= params.two_adicity:
+        return Domain(params, size)
+    return MixedRadixDomain(params, size, q=q)
+
+
+def _fft_mixed(params: FpParams, x, powers, factors):
+    """Mixed-radix DIT FFT.
+
+    x: [..., m, nd]; powers: [m, nd] table of gen^j; factors: decimation
+    radices (product = m).  Two phases mirroring _fft_core: decimation into
+    parent-major subsequence groups, then per-factor combines (generalized
+    butterflies: X[t + h·u] = Σ_i ω^{it} · w_r^{ui} · sub_i[t]).
+    """
+    m = x.shape[-2]
+    if m == 1:
+        return x
+    batch = x.shape[:-2]
+    nd = x.shape[-1]
+    p = params.modulus
+
+    # decimation
+    y = x.reshape(*batch, 1, m, nd)
+    for r in factors:
+        g, n = y.shape[-3], y.shape[-2]
+        y = y.reshape(*batch, g, n // r, r, nd)
+        y = jnp.moveaxis(y, -2, -3)  # [g, r, n/r, nd], parent-major
+        y = y.reshape(*batch, g * r, n // r, nd)
+
+    # combine, reverse order
+    for r in reversed(factors):
+        g, h = y.shape[-3], y.shape[-2]
+        y = y.reshape(*batch, g // r, r, h, nd)
+        n = r * h
+        stride = m // n
+        if r == 2:
+            E = y[..., 0, :, :]
+            O = y[..., 1, :, :]
+            w = powers[0:m // 2:stride]
+            t = fpmod.mont_mul(params, O, w)
+            y = jnp.concatenate([fpmod.add_mod(params, E, t),
+                                 fpmod.sub_mod(params, E, t)], axis=-2)
+        else:
+            # T[i][t] = sub_i[t] · ω^{i·t·stride}
+            it = (np.arange(r)[:, None] * np.arange(h)[None, :] *
+                  stride) % m
+            tw = jnp.take(powers, jnp.asarray(it), axis=0)  # [r, h, nd]
+            T = fpmod.mont_mul(params, y, tw)
+            # r-point DFT across i with w_r = gen^(m/r):
+            # X[u][t] = Σ_i w_r^{(u·i) mod r} · T[i][t]
+            wr = [powers[(u * (m // r)) % m] for u in range(r)]
+            outs = []
+            for u in range(r):
+                acc = T[..., 0, :, :]
+                for i in range(1, r):
+                    c = (u * i) % r
+                    term = T[..., i, :, :] if c == 0 else \
+                        fpmod.mont_mul(params, T[..., i, :, :], wr[c])
+                    acc = fpmod.add_mod(params, acc, term)
+                outs.append(acc)
+            y = jnp.concatenate(outs, axis=-2)
+        y = y.reshape(*batch, g // r, n, nd)
+    return y.reshape(*batch, m, nd)
 
 
 def _fft_core(params: FpParams, x, twiddles):

@@ -173,6 +173,26 @@ def msm(curve: SWCurveOps, xs, ys, scalar_digits, c: int | None = None,
     return res
 
 
+def msm_bucketed(curve: SWCurveOps, xs, ys, scalar_digits, inf_mask=None,
+                 c: int | None = None):
+    """msm() with the point count padded to the next power of two (zero
+    scalars on dummy points), so repeated prover calls with ragged lengths
+    reuse one compiled graph per bucket."""
+    n = xs.shape[0]
+    n2 = 1 << max(0, (n - 1).bit_length())
+    if n2 != n:
+        pad = n2 - n
+        xs = jnp.concatenate([xs, jnp.broadcast_to(xs[:1], (pad,) + xs.shape[1:])])
+        ys = jnp.concatenate([ys, jnp.broadcast_to(ys[:1], (pad,) + ys.shape[1:])])
+        scalar_digits = jnp.concatenate(
+            [scalar_digits, jnp.zeros((pad,) + scalar_digits.shape[1:],
+                                      scalar_digits.dtype)])
+        if inf_mask is not None:
+            inf_mask = jnp.concatenate(
+                [inf_mask, jnp.ones((pad,), inf_mask.dtype)])
+    return msm(curve, xs, ys, scalar_digits, c=c, inf_mask=inf_mask)
+
+
 def msm_naive(curve: SWCurveOps, xs, ys, scalar_digits, inf_mask=None):
     """Test oracle: Σ [k_i]P_i via per-point double-and-add + tree reduce."""
     one = jnp.broadcast_to(jnp.asarray(curve.F.one()), xs.shape)

@@ -63,6 +63,80 @@ def sharded_msm(curve, mesh: Mesh, xs, ys, scalar_digits, c: int | None = None,
     return tuple(coord[0] for coord in out)
 
 
+def sharded_fft(domain, mesh: Mesh, x_cyclic, inverse: bool = False,
+                axis: str = "data"):
+    """Distributed single FFT over the mesh (Cooley-Tukey two-step).
+
+    Decomposition m = D·L with D = mesh size (the TPU translation of
+    parallel_fft's 2^log_cpus sub-FFT split + interleave,
+    fft/domain.rs:360-416):
+
+        X[t + L·u] = Σ_i ω^{L·i·u} · ω^{i·t} · FFT_L(x[i::D])[t]
+
+    * input  layout: CYCLIC — device i holds the strided subsequence
+      x[i::D] (shape [L, nd]); pass `cyclic_layout(x, D)` to convert.
+    * output layout: BLOCKED — device u holds X[u·L:(u+1)·L].
+    * comm: one all-gather of the twiddled local transforms over ICI.
+
+    Compose fft→ifft by re-permuting the blocked (= natural-order) output
+    with `cyclic_layout` — under jit on a sharded array XLA lowers that
+    permutation to one all_to_all over ICI.
+    """
+    P6 = domain.params
+    m = domain.size
+    D = mesh.shape[axis]
+    assert m % D == 0, "domain size must divide across devices"
+    L = m // D
+    p = P6.modulus
+
+    gen = domain.gen_inv if inverse else domain.gen
+    # host tables: full powers of gen [m, nd]; sub-domain twiddles of gen^D
+    from ..ops.fft import _build_powers
+    powers = _build_powers(P6, gen, m)
+    sub_tw = _build_powers(P6, pow(gen, D, p), max(L // 2, 1))
+
+    from ..ops.fft import _fft_core
+    from ..fields import fp as fpmod
+
+    def local(x_l):
+        # x_l: [1?, L, nd] local shard (shard_map strips the device axis
+        # when the spec consumes it; here we shard axis 0 of [m, nd], so
+        # the local block is [L, nd])
+        i = jax.lax.axis_index(axis)
+        sub = _fft_core(P6, x_l, jnp.asarray(sub_tw))          # FFT_L
+        t_idx = jnp.arange(L, dtype=jnp.uint32)
+        tw = jnp.take(jnp.asarray(powers),
+                      (i.astype(jnp.uint32) * t_idx) % m, axis=0)
+        T = fpmod.mont_mul(P6, sub, tw)                        # [L, nd]
+        allT = jax.lax.all_gather(T, axis)                     # [D, L, nd]
+        u = jax.lax.axis_index(axis)
+        i_idx = jnp.arange(D, dtype=jnp.uint32)
+        w = jnp.take(jnp.asarray(powers),
+                     (jnp.uint32(L) * i_idx * u.astype(jnp.uint32)) % m,
+                     axis=0)                                   # [D, nd]
+        prods = fpmod.mont_mul(P6, allT, w[:, None, :])        # [D, L, nd]
+        acc = prods[0]
+        for ii in range(1, D):
+            acc = fpmod.add_mod(P6, acc, prods[ii])
+        if inverse:
+            acc = fpmod.mont_mul(
+                P6, acc,
+                jnp.asarray(fpmod.fp_from_int(P6, domain.size_inv)))
+        return acc
+
+    return shard_map(
+        local, mesh=mesh, in_specs=(P(axis),), out_specs=P(axis),
+        check_rep=False,
+    )(x_cyclic)
+
+
+def cyclic_layout(x, D: int):
+    """[m, nd] natural order -> concatenated strided subsequences
+    [x[0::D] ‖ x[1::D] ‖ …] so contiguous shards are cyclic."""
+    m = x.shape[0]
+    return x.reshape(m // D, D, -1).transpose(1, 0, 2).reshape(m, -1)
+
+
 def sharded_poseidon_2_1(hasher, mesh: Mesh, left, right, axis: str = "data"):
     """Batched 2->1 Poseidon with the batch axis sharded over the mesh."""
     def local(l, r):

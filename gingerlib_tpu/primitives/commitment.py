@@ -29,6 +29,8 @@ class PedersenCommitment:
         r = g.scalar_field.modulus
         k = rng.randrange(1, r)
         base = g.mul_const(g.generator(()), k)
+        from .pedersen import affine_host
+        self.rand_base_host = affine_host(g, base)
         nbits = g.scalar_field.modulus_bits
         pts = []
         cur = base

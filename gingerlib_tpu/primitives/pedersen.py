@@ -29,6 +29,17 @@ class PedersenWindow:
         self.num_windows = num_windows
 
 
+def affine_host(curve, P):
+    """Device point -> host affine int pair (prime-field curves only)."""
+    from ..fields import fp as fpmod
+    x, y = curve.to_affine(P)
+    x, y = np.asarray(x), np.asarray(y)
+    if x.shape[-2] != 1:
+        return None  # extension-field coords: no gadget path needed
+    return (fpmod.fp_to_int(curve.fp, x[..., 0, :]),
+            fpmod.fp_to_int(curve.fp, y[..., 0, :]))
+
+
 class PedersenCRH:
     """bit-windowed Pedersen hash: Σ_windows Σ_bits bit·(2^i·g_w)."""
 
@@ -43,9 +54,11 @@ class PedersenCRH:
         g = self.g
         r = g.scalar_field.modulus
         pts = []
+        self.generators_host = []
         for _ in range(self.w.num_windows):
             k = rng.randrange(1, r)
             base = g.mul_const(g.generator(()), k)
+            self.generators_host.append(affine_host(g, base))
             cur = base
             for _ in range(self.w.window_size):
                 pts.append(cur)

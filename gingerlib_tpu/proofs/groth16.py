@@ -15,6 +15,7 @@ so proofs are reproducible (create_proof with pinned r, s — prover.rs:201).
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import numpy as np
@@ -28,6 +29,7 @@ from ..ops import msm as msm_mod
 from ..relations.r1cs import ConstraintSystem, CompiledR1CS, compile_r1cs, \
     eval_matrix
 from ..curves.pairing_mnt import MNTPairing
+from ..jit_config import maybe_jit
 
 
 @dataclass
@@ -67,7 +69,14 @@ class Proof:
 # ---------------------------------------------------------------------------
 
 def _host_lagrange_at(params, m: int, gen: int, t: int):
-    """l_i(t) for i<m as python ints (one modular inverse total)."""
+    """l_i(t) for i<m as python ints (one modular inverse total).
+
+    Uses the native C++ host runtime when available (native/gl_host.cpp
+    gl_lagrange_at); pure-python fallback below."""
+    from .. import native
+    hf = native.host_field(params.modulus)
+    if hf is not None:
+        return hf.lagrange_at(gen, t, m)
     p = params.modulus
     zt = (pow(t, m, p) - 1) % p
     # denominators m*(t - w^i); numerators zt*w^i
@@ -95,15 +104,58 @@ def _host_lagrange_at(params, m: int, gen: int, t: int):
 
 
 def _fixed_msm_affine(curve, base_scalar: int, scalars):
-    """[(s_i * base_scalar mod r)]·G for scalar list -> affine + inf mask."""
+    """[(s_i * base_scalar mod r)]·G for scalar list -> affine + inf mask.
+
+    The batch is padded to the next power of two so XLA compiles one graph
+    per (curve, pow2-bucket) instead of one per exact length — setup makes
+    many different-length query calls (generator.rs:223-296)."""
     r = curve.scalar_field.modulus
     ks = [s % r for s in scalars]
-    kd = jnp.asarray(limbs.to_digits_batch(ks, curve.scalar_field.n_digits))
+    n = len(ks)
+    n2 = 1 << max(0, (n - 1).bit_length())
+    kd = jnp.asarray(limbs.to_digits_batch(
+        ks + [0] * (n2 - n), curve.scalar_field.n_digits))
     base = curve.generator_affine
-    pts = msm_mod.fixed_base_msm(curve, base, kd)
-    xs, ys = curve.to_affine(pts)
+    pts = _fixed_msm_jit(curve, base, kd)
+    xs, ys = pts
     inf = jnp.asarray(np.asarray([k == 0 for k in ks]))
-    return xs, ys, inf
+    return xs[:n], ys[:n], inf
+
+
+@functools.lru_cache(maxsize=None)
+def _fixed_msm_fn(curve):
+    import jax
+
+    def run(base, kd):
+        pts = msm_mod.fixed_base_msm(curve, base, kd)
+        return curve.to_affine(pts)
+
+    return maybe_jit(run)
+
+
+def _fixed_msm_jit(curve, base, kd):
+    return _fixed_msm_fn(curve)(base, kd)
+
+
+@functools.lru_cache(maxsize=None)
+def _single_mul_fn(curve):
+    """jitted [k]·P -> affine for one point (shape-stable digit scalar)."""
+    import jax
+
+    def run(gx, gy, kd):
+        one = jnp.broadcast_to(jnp.asarray(curve.F.one()), gx[None].shape)
+        pt = curve.mul_scalar_digits((gx[None], gy[None], one), kd)
+        x, y = curve.to_affine(pt)
+        return x[0], y[0]
+
+    return maybe_jit(run)
+
+
+def single_mul_affine(curve, affine_xy, k: int):
+    """[k]·P for a host scalar, one cached compile per curve."""
+    r = curve.scalar_field
+    kd = jnp.asarray(limbs.to_digits_batch([k % r.modulus], r.n_digits))
+    return _single_mul_fn(curve)(affine_xy[0], affine_xy[1], kd)
 
 
 def generate_parameters(engine: MNTPairing, cs: ConstraintSystem,
@@ -155,12 +207,10 @@ def generate_parameters(engine: MNTPairing, cs: ConstraintSystem,
     gamma_abc_q = _fixed_msm_affine(g1, 1, gamma_abc)
 
     def single_g1(k):
-        pt = g1.mul_const(g1.generator(()), k % p)
-        return g1.to_affine(pt)
+        return single_mul_affine(g1, g1.to_affine(g1.generator(())), k)
 
     def single_g2(k):
-        pt = g2.mul_const(g2.generator(()), k % p)
-        return g2.to_affine(pt)
+        return single_mul_affine(g2, g2.to_affine(g2.generator(())), k)
 
     alpha_g1 = single_g1(alpha)
     beta_g1 = single_g1(beta)
@@ -195,6 +245,19 @@ def witness_map(compiled: CompiledR1CS, z, d1: int = 0, d2: int = 0,
     """QAP witness map -> h coefficients [m-1, nd] Montgomery
     (r1cs_to_qap.rs:71-169; d1=d2=d3=0 in create_random_proof)."""
     fr = compiled.field
+    blind = None
+    if d1 or d2 or d3:
+        blind = (jnp.asarray(fpmod.fp_from_int(fr, d1 % fr.modulus)),
+                 jnp.asarray(fpmod.fp_from_int(fr, d2 % fr.modulus)),
+                 jnp.asarray(fpmod.fp_from_int(
+                     fr, (d3 + d1 * d2) % fr.modulus)))
+    return _witness_map_core(compiled, z, blind)
+
+
+def _witness_map_core(compiled: CompiledR1CS, z, blind):
+    """blind: None or (d1, d2, d3+d1·d2) Montgomery arrays —
+    h_extra(x) = d2·a(x) + d1·b(x) − (d3 + d1·d2)."""
+    fr = compiled.field
     domain = Domain(fr, compiled.domain_size)
     m = domain.size
     nc = compiled.num_constraints
@@ -220,18 +283,23 @@ def witness_map(compiled: CompiledR1CS, z, d1: int = 0, d2: int = 0,
     ab = domain.divide_by_vanishing_poly_on_coset(ab)
     h = domain.coset_ifft(ab)  # [m, nd]; top coefficient is zero
 
-    if d1 or d2 or d3:
+    if blind is not None:
         # h_extra(x) = d2·a(x) + d1·b(x) − d3 − d1·d2 (r1cs_to_qap.rs:124-132)
-        p = fr.modulus
-        d1d = jnp.asarray(fpmod.fp_from_int(fr, d1))
-        d2d = jnp.asarray(fpmod.fp_from_int(fr, d2))
+        d1d, d2d, corr = blind
         extra = fpmod.add_mod(fr, fpmod.mont_mul(fr, a_poly, d2d),
                               fpmod.mont_mul(fr, b_poly, d1d))
-        corr = fpmod.fp_from_int(fr, (d3 + d1 * d2) % p)
-        extra = extra.at[0].set(fpmod.sub_mod(
-            fr, extra[0], jnp.asarray(corr)))
+        extra = extra.at[0].set(fpmod.sub_mod(fr, extra[0], corr))
         h = fpmod.add_mod(fr, h, extra)
     return h[:m - 1]
+
+
+def _params_arrays(params: Parameters):
+    return (params.a_query, params.b_g1_query, params.b_g2_query,
+            params.h_query, params.l_query, params.alpha_g1, params.beta_g1,
+            params.beta_g2, params.delta_g1, params.delta_g2)
+
+
+_PROVE_JIT_CACHE: dict = {}
 
 
 def create_proof(engine: MNTPairing, params: Parameters,
@@ -239,6 +307,10 @@ def create_proof(engine: MNTPairing, params: Parameters,
                  d1: int = 0, d2: int = 0, d3: int = 0) -> Proof:
     """assignment: full value list (python ints) or device Montgomery array
     [nvars, nd].  r, s: blinding scalars (ints; pinned for reproducibility).
+
+    The entire device dataflow (witness map + 6 MSMs + assembly) is ONE
+    jitted graph, cached per (engine, compiled, blinding?) — eager op-by-op
+    dispatch is far too slow for graphs this deep.
     """
     g1, g2 = engine.g1, engine.g2
     fr = g1.scalar_field
@@ -247,65 +319,126 @@ def create_proof(engine: MNTPairing, params: Parameters,
         z = jnp.asarray(fpmod.fp_from_ints(fr, assignment))
     else:
         z = assignment
-    ni = params.num_inputs
 
-    h = witness_map(compiled, z, d1, d2, d3)
+    blind = None
+    if d1 or d2 or d3:
+        blind = (jnp.asarray(fpmod.fp_from_int(fr, d1 % fr.modulus)),
+                 jnp.asarray(fpmod.fp_from_int(fr, d2 % fr.modulus)),
+                 jnp.asarray(fpmod.fp_from_int(
+                     fr, (d3 + d1 * d2) % fr.modulus)))
+    rd = jnp.asarray(limbs.to_digits_batch([r % fr.modulus], fr.n_digits))
+    sd = jnp.asarray(limbs.to_digits_batch([s % fr.modulus], fr.n_digits))
+    rs = r * s % fr.modulus
+    rsd = jnp.asarray(limbs.to_digits_batch([rs], fr.n_digits))
+
+    a, b, c = _create_proof_device(engine, compiled, _params_arrays(params),
+                                   z, rd, sd, rsd, blind)
+    return Proof(a=a, b=b, c=c)
+
+
+def _jit_unit(key, build):
+    """Small cached jit units: compiling the prover as a handful of
+    per-stage graphs (witness map, each MSM bucket, scalar muls, assembly)
+    instead of one monolithic graph — identical stages dedupe in the
+    persistent compile cache and XLA:CPU compile time stays bounded."""
+    fn = _PROVE_JIT_CACHE.get(key)
+    if fn is None:
+        fn = maybe_jit(build())
+        _PROVE_JIT_CACHE[key] = fn
+    return fn
+
+
+def _vmsm_jit(curve, query, scalars):
+    xs, ys, inf = query
+    n = scalars.shape[0]
+    key = ("vmsm", id(curve), int(n), xs.shape)
+    fn = _jit_unit(key, lambda: lambda xs, ys, inf, sc:
+                   msm_mod.msm_bucketed(curve, xs[:n], ys[:n], sc,
+                                        inf_mask=inf[:n]))
+    return fn(xs, ys, inf, scalars)
+
+
+def _smul_jit(curve, affine, kd):
+    key = ("smul", id(curve))
+
+    def build():
+        def run(ax, ay, kd):
+            pt = (ax[None], ay[None],
+                  jnp.broadcast_to(jnp.asarray(curve.F.one()),
+                                   ax[None].shape))
+            out = curve.mul_scalar_digits(pt, kd)
+            return tuple(c[0] for c in out)
+        return run
+
+    return _jit_unit(key, build)(affine[0], affine[1], kd)
+
+
+def _create_proof_device(engine, compiled, pa, z, rd, sd, rsd, blind):
+    """prover.rs:201-346 device dataflow (small cached jit units)."""
+    g1, g2 = engine.g1, engine.g2
+    fr = g1.scalar_field
+    (a_query, b_g1_query, b_g2_query, h_query, l_query, alpha_g1, beta_g1,
+     beta_g2, delta_g1, delta_g2) = pa
+    ni = compiled.num_inputs
+
+    wm_key = ("wm", id(compiled), blind is not None)
+    wm = _jit_unit(wm_key, lambda: lambda z, blind:
+                   _witness_map_core(compiled, z, blind))
+    h = wm(z, blind)
 
     # scalars to standard form for MSM (prover.rs:241-267)
-    z_std = fpmod.from_mont(fr, z)
-    h_std = fpmod.from_mont(fr, h)
+    conv = _jit_unit(("from_mont", fr), lambda: lambda x:
+                     fpmod.from_mont(fr, x))
+    z_std = conv(z)
+    h_std = conv(h)
     aux_std = z_std[ni:]
 
     def vmsm(query, scalars):
         xs, ys, inf = query
-        n = scalars.shape[0]
-        return msm_mod.msm(g1 if xs.shape[-2] == g1.F.K else g2,
-                           xs[:n], ys[:n], scalars, inf_mask=inf[:n])
-
-    rd = jnp.asarray(limbs.to_digits_batch([r % fr.modulus], fr.n_digits))
-    sd = jnp.asarray(limbs.to_digits_batch([s % fr.modulus], fr.n_digits))
+        return _vmsm_jit(g1 if xs.shape[-2] == g1.F.K else g2,
+                         query, scalars)
 
     def smul(curve, affine, kd):
-        pt = (affine[0][None], affine[1][None],
-              jnp.broadcast_to(jnp.asarray(curve.F.one()), affine[0][None].shape))
-        out = curve.mul_scalar_digits(pt, kd)
-        return tuple(c[0] for c in out)
+        return _smul_jit(curve, affine, kd)
 
     # g_a = alpha + Σ a_query·z + r·delta  (prover.rs:272-285)
-    a_acc = vmsm(params.a_query, z_std)
-    r_delta = smul(g1, params.delta_g1, rd)
-    g_a = g1.add(a_acc, r_delta)
-    g_a = g1.add_mixed(g_a, params.alpha_g1)
+    a_acc = vmsm(a_query, z_std)
+    r_delta = smul(g1, delta_g1, rd)
 
     # g1_b = beta_g1 + Σ b_g1_query·z + s·delta_g1
-    b1_acc = vmsm(params.b_g1_query, z_std)
-    s_delta = smul(g1, params.delta_g1, sd)
-    g1_b = g1.add(b1_acc, s_delta)
-    g1_b = g1.add_mixed(g1_b, params.beta_g1)
+    b1_acc = vmsm(b_g1_query, z_std)
+    s_delta = smul(g1, delta_g1, sd)
 
     # g2_b = beta_g2 + Σ b_g2_query·z + s·delta_g2
-    b2_acc = vmsm(params.b_g2_query, z_std)
-    s_delta2 = smul(g2, params.delta_g2, sd)
-    g2_b = g2.add(b2_acc, s_delta2)
-    g2_b = g2.add_mixed(g2_b, params.beta_g2)
+    b2_acc = vmsm(b_g2_query, z_std)
+    s_delta2 = smul(g2, delta_g2, sd)
 
-    # g_c = s·g_a + r·g1_b − rs·delta + l_query·aux + h_query·h
-    l_acc = vmsm(params.l_query, aux_std)
-    h_acc = vmsm(params.h_query, h_std)
-    s_ga = g1.mul_scalar_digits(tuple(c[None] for c in g_a), sd)
-    s_ga = tuple(c[0] for c in s_ga)
-    r_g1b = g1.mul_scalar_digits(tuple(c[None] for c in g1_b), rd)
-    r_g1b = tuple(c[0] for c in r_g1b)
-    rs = r * s % fr.modulus
-    rsd = jnp.asarray(limbs.to_digits_batch([rs], fr.n_digits))
-    rs_delta = smul(g1, params.delta_g1, rsd)
-    g_c = g1.add(s_ga, r_g1b)
-    g_c = g1.add(g_c, g1.neg(rs_delta))
-    g_c = g1.add(g_c, l_acc)
-    g_c = g1.add(g_c, h_acc)
+    # g_c inputs
+    l_acc = vmsm(l_query, aux_std)
+    h_acc = vmsm(h_query, h_std)
+    rs_delta = smul(g1, delta_g1, rsd)
 
-    return Proof(a=g1.to_affine(g_a), b=g2.to_affine(g2_b),
-                 c=g1.to_affine(g_c))
+    def build_assemble():
+        def run(a_acc, r_delta, alpha_g1, b1_acc, s_delta, beta_g1,
+                b2_acc, s_delta2, beta_g2, l_acc, h_acc, rs_delta, rd, sd):
+            g_a = g1.add_mixed(g1.add(a_acc, r_delta), alpha_g1)
+            g1_b = g1.add_mixed(g1.add(b1_acc, s_delta), beta_g1)
+            g2_b = g2.add_mixed(g2.add(b2_acc, s_delta2), beta_g2)
+            s_ga = g1.mul_scalar_digits(tuple(c[None] for c in g_a), sd)
+            s_ga = tuple(c[0] for c in s_ga)
+            r_g1b = g1.mul_scalar_digits(tuple(c[None] for c in g1_b), rd)
+            r_g1b = tuple(c[0] for c in r_g1b)
+            g_c = g1.add(s_ga, r_g1b)
+            g_c = g1.add(g_c, g1.neg(rs_delta))
+            g_c = g1.add(g_c, l_acc)
+            g_c = g1.add(g_c, h_acc)
+            return (g1.to_affine(g_a), g2.to_affine(g2_b),
+                    g1.to_affine(g_c))
+        return run
+
+    asm = _jit_unit(("asm", id(engine)), build_assemble)
+    return asm(a_acc, r_delta, alpha_g1, b1_acc, s_delta, beta_g1,
+               b2_acc, s_delta2, beta_g2, l_acc, h_acc, rs_delta, rd, sd)
 
 
 # ---------------------------------------------------------------------------
@@ -325,8 +458,13 @@ def verify_proof(engine: MNTPairing, vk: VerifyingKey, proof: Proof,
 
     scalars = [1] + [x % fr.modulus for x in public_inputs]
     sd = jnp.asarray(limbs.to_digits_batch(scalars, fr.n_digits))
-    g_ic = msm_mod.msm_naive(g1, xs, ys, sd)
-    gic_aff = g1.to_affine(g_ic)
+    key = (id(engine), "gic", int(xs.shape[0]))
+    fn = _PROVE_JIT_CACHE.get(key)
+    if fn is None:
+        fn = maybe_jit(lambda xs, ys, sd: g1.to_affine(
+            msm_mod.msm_naive(g1, xs, ys, sd)))
+        _PROVE_JIT_CACHE[key] = fn
+    gic_aff = fn(xs, ys, sd)
 
     neg_gamma = (vk.gamma_g2[0], g2.F.neg(vk.gamma_g2[1]))
     neg_delta = (vk.delta_g2[0], g2.F.neg(vk.delta_g2[1]))

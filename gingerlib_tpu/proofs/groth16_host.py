@@ -318,3 +318,14 @@ def host_groth16_mnt6753() -> HostGroth16:
     return HostGroth16(
         host_mnt6753_pairing(), c["a"], c["b"], (c["g1_x"], c["g1_y"]),
         c["g2_a"], (c["g2_x"], c["g2_y"]), PP.MNT6753_FR)
+
+
+def host_groth16_bls12_377() -> HostGroth16:
+    """Groth16 over BLS12-377 (reference groth16/test.rs bls12_377 module)."""
+    from ..curves.pairing_host import host_bls12_377_pairing
+    from ..params._gen import curves_gen as CG
+    from .. import params as PP
+    c = CG.BLS12_377
+    return HostGroth16(
+        host_bls12_377_pairing(), c["a"], c["b"], (c["g1_x"], c["g1_y"]),
+        c["g2_a"], (c["g2_x"], c["g2_y"]), PP.BLS12_377_FR)

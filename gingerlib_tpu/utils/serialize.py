@@ -210,3 +210,79 @@ def vk_from_bytes(engine, data: bytes):
         delta_g2=(jnp.asarray(dx), jnp.asarray(dy)),
         gamma_abc_g1=(jnp.asarray(np.stack(xs)), jnp.asarray(np.stack(ys))),
     ), off
+
+
+def _query_to_bytes(curve, query) -> bytes:
+    """length-prefixed affine vector with per-point infinity flags
+    (Parameters ToBytes, groth16/mod.rs:188-209)."""
+    xs, ys, inf = query
+    xs, ys, inf = np.asarray(xs), np.asarray(ys), np.asarray(inf)
+    n = xs.shape[0]
+    out = [struct.pack(">I", n)]
+    for i in range(n):
+        out.append(affine_to_bytes(curve, (xs[i], ys[i]),
+                                   infinity=bool(inf[i])))
+    return b"".join(out)
+
+
+def _query_from_bytes(curve, data: bytes, offset: int):
+    import jax.numpy as jnp
+    (n,) = struct.unpack(">I", data[offset:offset + 4])
+    offset += 4
+    xs, ys, inf = [], [], []
+    for _ in range(n):
+        (x, y, isinf), offset = affine_from_bytes(curve, data, offset)
+        xs.append(x)
+        ys.append(y)
+        inf.append(isinf)
+    return (jnp.asarray(np.stack(xs)), jnp.asarray(np.stack(ys)),
+            jnp.asarray(np.asarray(inf, bool))), offset
+
+
+def params_to_bytes(engine, params) -> bytes:
+    """Full Parameters serialization (groth16/mod.rs:188-209): vk, then
+    alpha/beta/delta points, then 5 length-prefixed query vectors."""
+    g1, g2 = engine.g1, engine.g2
+    out = [vk_to_bytes(engine, params.vk)]
+    out.append(affine_to_bytes(g1, params.alpha_g1))
+    out.append(affine_to_bytes(g1, params.beta_g1))
+    out.append(affine_to_bytes(g2, params.beta_g2))
+    out.append(affine_to_bytes(g1, params.delta_g1))
+    out.append(affine_to_bytes(g2, params.delta_g2))
+    out.append(_query_to_bytes(g1, params.a_query))
+    out.append(_query_to_bytes(g1, params.b_g1_query))
+    out.append(_query_to_bytes(g2, params.b_g2_query))
+    out.append(_query_to_bytes(g1, params.h_query))
+    out.append(_query_to_bytes(g1, params.l_query))
+    return b"".join(out)
+
+
+def params_from_bytes(engine, data: bytes):
+    from ..proofs.groth16 import Parameters
+    import jax.numpy as jnp
+    g1, g2 = engine.g1, engine.g2
+    vk, off = vk_from_bytes(engine, data)
+    j = jnp.asarray
+
+    def aff(curve, off):
+        (x, y, _), off = affine_from_bytes(curve, data, off)
+        return (j(x), j(y)), off
+
+    alpha_g1, off = aff(g1, off)
+    beta_g1, off = aff(g1, off)
+    beta_g2, off = aff(g2, off)
+    delta_g1, off = aff(g1, off)
+    delta_g2, off = aff(g2, off)
+    a_query, off = _query_from_bytes(g1, data, off)
+    b_g1_query, off = _query_from_bytes(g1, data, off)
+    b_g2_query, off = _query_from_bytes(g2, data, off)
+    h_query, off = _query_from_bytes(g1, data, off)
+    l_query, off = _query_from_bytes(g1, data, off)
+    num_inputs = int(np.asarray(vk.gamma_abc_g1[0]).shape[0])
+    domain_size = int(np.asarray(h_query[0]).shape[0]) + 1
+    return Parameters(
+        vk=vk, alpha_g1=alpha_g1, beta_g1=beta_g1, beta_g2=beta_g2,
+        delta_g1=delta_g1, delta_g2=delta_g2, a_query=a_query,
+        b_g1_query=b_g1_query, b_g2_query=b_g2_query, h_query=h_query,
+        l_query=l_query, num_inputs=num_inputs, domain_size=domain_size,
+    ), off

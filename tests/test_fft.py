@@ -113,3 +113,65 @@ def test_mnt_cycle_two_adicity():
     # MNT4753 Fr domains up to 2^30; MNT6753 Fr domains up to 2^15
     assert Domain(PP.MNT4753_FR, 1 << 16).size == 1 << 16
     assert Domain(PP.MNT6753_FR, 1 << 15).size == 1 << 15
+
+
+# ---------------------------------------------------------------------------
+# mixed-radix extension (2^k · 5^s domains; SURVEY.md divergence #1)
+# ---------------------------------------------------------------------------
+
+from gingerlib_tpu.ops.fft import MixedRadixDomain, best_domain
+
+
+@pytest.mark.parametrize("size", [5, 10, 20, 40])
+def test_mixed_radix_vs_naive_dft(size):
+    P6 = PP.MNT6753_FR  # two-adicity 15, 5^2 | p-1: the field that needs this
+    p = P6.modulus
+    rng = random.Random(size)
+    dom = MixedRadixDomain(P6, size)
+    m = dom.size
+    xs = [rng.randrange(p) for _ in range(m)]
+    xd = jnp.asarray(fp.fp_from_ints(P6, xs))
+    got = fp.fp_to_ints(P6, np.asarray(jax.jit(dom.fft)(xd)))
+    w = dom.gen
+    expect = [sum(xs[j] * pow(w, i * j, p) for j in range(m)) % p
+              for i in range(m)]
+    assert got == expect
+
+
+def test_mixed_radix_roundtrip_and_coset():
+    P6 = PP.MNT6753_FR
+    p = P6.modulus
+    rng = random.Random(99)
+    dom = MixedRadixDomain(P6, 20)
+    m = dom.size
+    xs = [rng.randrange(p) for _ in range(m)]
+    xd = jnp.asarray(fp.fp_from_ints(P6, xs))
+    back = jax.jit(lambda x: dom.ifft(dom.fft(x)))(xd)
+    assert fp.fp_to_ints(P6, np.asarray(back)) == xs
+    back2 = jax.jit(lambda x: dom.coset_ifft(dom.coset_fft(x)))(xd)
+    assert fp.fp_to_ints(P6, np.asarray(back2)) == xs
+
+
+def test_mixed_radix_pow2_matches_radix2():
+    """On a pow-2 size with the same generator the two cores agree."""
+    rng = random.Random(5)
+    p = P.modulus
+    d2 = Domain(P, 16)
+    dm = MixedRadixDomain(P, 16)
+    dm.gen = d2.gen  # pin the same root of unity
+    dm.__dict__.pop("_powers", None)
+    xs = [rng.randrange(p) for _ in range(16)]
+    xd = jnp.asarray(fp.fp_from_ints(P, xs))
+    a = fp.fp_to_ints(P, np.asarray(jax.jit(d2.fft)(xd)))
+    b = fp.fp_to_ints(P, np.asarray(jax.jit(dm.fft)(xd)))
+    assert a == b
+
+
+def test_best_domain_selection():
+    P6 = PP.MNT6753_FR
+    d = best_domain(P6, 1 << 10)
+    assert isinstance(d, Domain)
+    d = best_domain(P6, (1 << 15) + 1)  # exceeds two-adicity -> mixed
+    assert isinstance(d, MixedRadixDomain)
+    assert d.size >= (1 << 15) + 1
+    assert d.size == (1 << 13) * 5  # 40960: smallest 2^k·5^s fit

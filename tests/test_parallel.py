@@ -45,3 +45,34 @@ def test_sharded_msm_matches_local():
     total = 9 * sum(ks) % g1.scalar_field.modulus
     exp = jax.jit(lambda G: g1.mul_const(G, total))(g1.generator(()))
     assert bool(np.asarray(g1.eq(res, exp)))
+
+
+def test_sharded_fft_matches_local():
+    """Distributed two-step FFT == single-device Domain.fft (8-dev mesh)."""
+    import random
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from gingerlib_tpu import params as PP
+    from gingerlib_tpu.fields import fp as fpmod
+    from gingerlib_tpu.ops.fft import Domain
+    from gingerlib_tpu.parallel import make_mesh
+    from gingerlib_tpu.parallel.sharded import sharded_fft, cyclic_layout
+
+    P6 = PP.BLS12_377_FR
+    mesh = make_mesh(8)
+    m = 64
+    dom = Domain(P6, m)
+    rng = random.Random(77)
+    xs = [rng.randrange(P6.modulus) for _ in range(m)]
+    xd = jnp.asarray(fpmod.fp_from_ints(P6, xs))
+
+    expect = np.asarray(jax.jit(dom.fft)(xd))
+    got = np.asarray(sharded_fft(dom, mesh, cyclic_layout(xd, 8)))
+    assert (got == expect).all()
+
+    # inverse roundtrip: ifft(cyclic(fft(x))) == x
+    back = np.asarray(sharded_fft(dom, mesh,
+                                  cyclic_layout(jnp.asarray(got), 8),
+                                  inverse=True))
+    assert (back == np.asarray(xd)).all()

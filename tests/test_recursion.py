@@ -81,3 +81,50 @@ def test_host_groth16_roundtrip(inner):
     """inner fixture exercises setup/prove/verify + negative case."""
     H, params, proof = inner
     assert proof["a"] is not None and proof["c"] is not None
+
+
+# ---------------------------------------------------------------------------
+# BLS12-377 recursion config (nizk/groth16/mod.rs:431): proof over
+# BLS12-377 verified in a circuit over BLS12-377 Fq (= SW6 Fr)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def inner_bls():
+    from gingerlib_tpu.proofs.groth16_host import host_groth16_bls12_377
+    H = host_groth16_bls12_377()
+    cs = _mul_circuit(PP.BLS12_377_FR, 7, 11)
+    params = H.setup(cs, alpha=11, beta=22, gamma=33, delta=44, t=271828)
+    proof = H.prove(cs, params, r=55, s=66)
+    assert H.verify(params, proof, [77])
+    assert not H.verify(params, proof, [78])
+    return H, params, proof
+
+
+@pytest.mark.slow
+def test_bls12_377_recursive_verifier_gadget(inner_bls):
+    from gingerlib_tpu.gadgets.crypto.nizk import bls12_377_verifier_gadget
+    H, params, proof = inner_bls
+    vg = bls12_377_verifier_gadget()
+    cs = ConstraintSystem(PP.BLS12_377_FQ)
+    vkg = vg.alloc_vk(cs, _vk_host_dict(params))
+    proofg = vg.alloc_proof(cs, proof)
+    nbits = PP.BLS12_377_FR.modulus_bits
+    bits = vg.alloc_input_bits(cs, 77, nbits, "x")
+    vg.check_verify(cs, vkg, [bits], proofg)
+    bad = cs.which_is_unsatisfied()
+    assert bad is None, f"unsatisfied at: {bad}"
+    print(f"bls12_377 verifier circuit: {cs.num_constraints} constraints")
+
+
+@pytest.mark.slow
+def test_bls12_377_recursive_verifier_rejects(inner_bls):
+    from gingerlib_tpu.gadgets.crypto.nizk import bls12_377_verifier_gadget
+    H, params, proof = inner_bls
+    vg = bls12_377_verifier_gadget()
+    cs = ConstraintSystem(PP.BLS12_377_FQ)
+    vkg = vg.alloc_vk(cs, _vk_host_dict(params))
+    proofg = vg.alloc_proof(cs, proof)
+    nbits = PP.BLS12_377_FR.modulus_bits
+    bits = vg.alloc_input_bits(cs, 78, nbits, "x")
+    vg.check_verify(cs, vkg, [bits], proofg)
+    assert cs.which_is_unsatisfied() is not None

@@ -63,3 +63,31 @@ def test_g2_affine_roundtrip():
     assert len(raw) == 96 * 4 + 1  # two Fq2 elements
     (x, y, inf), _ = S.affine_from_bytes(g2, raw)
     assert np.array_equal(x, np.asarray(gx)) and not inf
+
+
+def test_full_parameters_roundtrip():
+    """Parameters ToBytes/FromBytes layout (groth16/mod.rs:188-239)."""
+    from gingerlib_tpu.curves import instances as CI
+    from gingerlib_tpu.relations.r1cs import ConstraintSystem, \
+        LinearCombination
+    from gingerlib_tpu.proofs import groth16
+    from gingerlib_tpu.utils import serialize as S
+    eng = CI.mnt6298_pairing()
+    fr = eng.g1.scalar_field
+    cs = ConstraintSystem(fr)
+    c = cs.alloc_input("c", 15)
+    a = cs.alloc("a", 3)
+    b = cs.alloc("b", 5)
+    cs.enforce(LinearCombination.of(a), LinearCombination.of(b),
+               LinearCombination.of(c), "ab=c")
+    params = groth16.generate_parameters(eng, cs, alpha=12, beta=34,
+                                         gamma=56, delta=78, t=2718)
+    raw = S.params_to_bytes(eng, params)
+    params2, consumed = S.params_from_bytes(eng, raw)
+    assert consumed == len(raw)
+    assert S.params_to_bytes(eng, params2) == raw
+    # restored parameters still prove correctly
+    from gingerlib_tpu.relations.r1cs import compile_r1cs
+    proof = groth16.create_proof(eng, params2, compile_r1cs(cs),
+                                 cs.assignment(), r=9, s=8)
+    assert groth16.verify_proof(eng, params2.vk, proof, [15])
