@@ -39,21 +39,26 @@ def main():
     G = g1.generator((n,))
     pts = jax.jit(lambda G, kd: g1.mul_scalar_digits(G, kd))(G, kd)
     xs, ys = jax.jit(g1.to_affine)(pts)
-    jax.block_until_ready((xs, ys))
+    np.asarray(xs)
 
     scalars = [int.from_bytes(rng.bytes(94), "little") % fr.modulus
                for _ in range(n)]
     sd = jnp.asarray(limbs.to_digits_batch(scalars, fr.n_digits))
 
+    def fetch(out):
+        # block_until_ready does NOT block on the tunneled TPU backend;
+        # a device->host fetch is the only reliable completion barrier
+        np.asarray(out[0])
+
     run = jax.jit(lambda xs, ys, sd: msm_mod.msm(g1, xs, ys, sd))
     out = run(xs, ys, sd)
-    jax.block_until_ready(out)  # compile + first run
+    fetch(out)  # compile + first run
 
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
         out = run(xs, ys, sd)
-    jax.block_until_ready(out)
+    fetch(out)
     dt = (time.perf_counter() - t0) / reps
 
     pps = n / dt

@@ -14,13 +14,21 @@ from gingerlib_tpu.fields import fp as fpmod
 from gingerlib_tpu.ops import limbs
 
 
+def fetch(out):
+    """Force completion: device->host fetch of one leaf.  NOTE
+    block_until_ready does NOT block on the tunneled TPU backend."""
+    import jax
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf)
+
+
 def timeit(fn, *args, reps=5):
     out = fn(*args)
-    jax.block_until_ready(out)
+    fetch(out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    fetch(out)
     return (time.perf_counter() - t0) / reps
 
 

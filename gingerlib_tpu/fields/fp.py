@@ -196,6 +196,11 @@ def mont_redc(params: FpParams, t_raw):
 
 
 def mont_mul(params: FpParams, a, b):
+    from ..ops import pallas_mont
+    if pallas_mont.use_pallas() and 2 * params.n_digits <= pallas_mont.LANES:
+        # one fused VMEM kernel per multiply (ops/pallas_mont.py) — ~9x the
+        # fused-XLA path on TPU v5e and ~10³x smaller HLO graphs
+        return pallas_mont.mont_mul_pallas(params, a, b)
     a, b = jnp.broadcast_arrays(a, b)
     return mont_redc(params, limbs.mul_wide_raw(a, b, 2 * params.n_digits))
 
