@@ -158,9 +158,20 @@ def msm(curve: SWCurveOps, xs, ys, scalar_digits, c: int | None = None,
         wsum = _tree_reduce(curve, suffix)
         return tuple(coord[0] for coord in wsum)
 
-    # one traced window body, mapped over all W windows (compile-size
-    # equivalent of rayon-over-windows, variable_base.rs:30)
-    window_sums = jax.lax.map(one_window, windows)
+    # all windows in parallel via vmap (the TPU form of rayon-over-windows,
+    # variable_base.rs:30): every tree level / Fenwick step then runs as one
+    # [chunk·N]-batch field op instead of W sequential small ones.  Chunked
+    # so the [chunk, N, K, nd] sorted-point copies stay within memory.
+    chunk = min(W, max(1, (1 << 22) // max(N, 1)))
+    Wp = -(-W // chunk) * chunk
+    if Wp != W:
+        # zero-key windows contribute the identity (bucket 0 is masked out)
+        windows = jnp.concatenate(
+            [windows, jnp.zeros((Wp - W, N), windows.dtype)], axis=0)
+    vf = jax.vmap(one_window)
+    chunks = [vf(windows[s:s + chunk]) for s in range(0, Wp, chunk)]
+    window_sums = tuple(jnp.concatenate(cs, axis=0)[:W]
+                        for cs in zip(*chunks))
 
     # horizontal fold: result = Σ_w 2^{cw} S_w, MSB window first
     def fold(res, wsum):
