@@ -173,6 +173,34 @@ def host_mnt6753_pairing() -> HostMNTPairing:
         c["final_exponent_last_chunk_w0_is_neg"], 3, True)
 
 
+# FINAL_EXPONENT_LAST_CHUNK_W1 for SW6 (curves/sw6/mod.rs:227-239); w0 and
+# the rest of the curve constants come from the extracted params table.
+_SW6_W1 = 86482221941698704497288378992285180119495364068003923046442785886272123124361700722982503222189455144364945735564951562986
+
+
+def host_sw6_pairing() -> HostMNTPairing:
+    """SW6 (CP6-782) ate pairing oracle (curves/sw6/mod.rs:64-170).
+
+    SW6's hand-rolled PairingEngine is exactly the MNT6 affine ladder shape:
+    Fq3 twist (0,1,0), lines in Fq6 = Fq3[Y], easy part (q^3-1)(q+1), hard
+    part elt^(w1*q) * elt^(+-w0) — so it reuses HostMNTPairing with the
+    plain-binary loop count in NAF form (f_{m,Q} is chain-independent up to
+    factors killed by the final exponentiation, as with MNT's WNAF loop).
+    """
+    from ..gadgets.std.ext_fields import build_mnt6_tower_gadgets
+    from ..params._gen import curves_gen as CG, towers_gen as TG
+    from .. import params as PP
+    from .instances import find_wnaf
+    c = CG.SW6
+    base, fq3, fq6 = build_mnt6_tower_gadgets(
+        PP.SW6_FQ, TG.SW6_FQ3["nonresidue"])
+    return HostMNTPairing(
+        PP.SW6_FQ, fq3, fq6, c["g2_a"], find_wnaf(c["ate_loop_count"]),
+        c["ate_is_loop_count_neg"], _SW6_W1,
+        c["final_exponent_last_chunk_abs_of_w0"],
+        c["final_exponent_last_chunk_w0_is_neg"], 3, True)
+
+
 def host_mnt6298_pairing() -> HostMNTPairing:
     from ..gadgets.std.ext_fields import build_mnt6_tower_gadgets
     from ..params._gen import curves_gen as CG, towers_gen as TG

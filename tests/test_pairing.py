@@ -68,3 +68,25 @@ def test_product_of_pairings_cancellation():
     gt = jax.jit(E.product_of_pairings)(p, q)
     one = np.broadcast_to(E.fqk.one(), np.asarray(gt).shape)
     assert np.array_equal(np.asarray(gt), one)
+
+
+def test_sw6_host_bilinearity():
+    """SW6 (CP6-782) hand-rolled engine (curves/sw6/mod.rs:64-170): host
+    oracle bilinearity, non-degeneracy and GT order r."""
+    from gingerlib_tpu import params as PP
+    from gingerlib_tpu.params._gen import curves_gen as CG
+    from gingerlib_tpu.curves.pairing_host import host_sw6_pairing
+    from gingerlib_tpu.proofs.groth16_host import ec_mul, _FqWrap
+    from gingerlib_tpu.gadgets.std.ext_fields import FpGOps
+
+    E = host_sw6_pairing()
+    c = CG.SW6
+    base = FpGOps(_FqWrap(E.p))
+    G1 = ([c["g1_x"]], [c["g1_y"]])
+    G2 = (list(c["g2_x"]), list(c["g2_y"]))
+    e = E.pairing(G1, G2)
+    P3 = ec_mul(base, [c["a"]], G1, 3)
+    Q5 = ec_mul(E.S, c["g2_a"], G2, 5)
+    assert E.pairing(P3, Q5) == E._fpow(e, 15)
+    assert e != E._fone()
+    assert E._fpow(e, PP.SW6_FR.modulus) == E._fone()
