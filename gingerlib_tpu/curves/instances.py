@@ -204,6 +204,28 @@ def find_wnaf(n: int):
 
 
 @functools.lru_cache()
+def sw6_pairing():
+    """SW6 (CP6-782) device ate pairing (curves/sw6/mod.rs:64-269): the
+    hand-rolled engine is MNT6-shaped (Fq3 twist (0,1,0), Fq6 lines, easy
+    part (q³−1)(q+1), hard part elt^(w1·q)·elt^(±w0)), so it instantiates
+    the generic MNT ladder.  ATE_LOOP_COUNT is the decoded [u64;13] limb
+    array — 782 bits; the 388-bit doc comment at sw6/mod.rs:183 disagrees
+    with the code (see pairing_host.host_sw6_pairing)."""
+    from .pairing_mnt import MNTPairing
+    from .pairing_host import _SW6_W1
+    _, _, fq6 = sw6_towers()
+    c = CG.SW6
+    return MNTPairing(
+        "sw6", sw6_g1(), sw6_g2(), fq6,
+        wnaf=find_wnaf(c["ate_loop_count"]),
+        ate_is_neg=c["ate_is_loop_count_neg"],
+        w1=_SW6_W1,
+        w0_abs=c["final_exponent_last_chunk_abs_of_w0"],
+        w0_is_neg=c["final_exponent_last_chunk_w0_is_neg"],
+        easy_frob=3, easy_mul_q_plus_1=True)
+
+
+@functools.lru_cache()
 def mnt6298_pairing():
     from .pairing_mnt import MNTPairing
     _, _, fq6 = mnt6298_towers()

@@ -186,6 +186,17 @@ def host_sw6_pairing() -> HostMNTPairing:
     part elt^(w1*q) * elt^(+-w0) — so it reuses HostMNTPairing with the
     plain-binary loop count in NAF form (f_{m,Q} is chain-independent up to
     factors killed by the final exponentiation, as with MNT's WNAF loop).
+
+    ⚠ ATE_LOOP_COUNT doc-vs-code divergence: the reference's doc comment
+    (curves/sw6/mod.rs:183-184) states a 388-bit value, but the actual
+    `[u64; 13]` limb array it compiles decodes to a 782-bit value (= doc
+    value + k·r), and `BitIterator::new(ATE_LOOP_COUNT)` iterates those
+    limbs — i.e. the reference *engine* runs the 782-bit loop.  We match
+    the code: CG.SW6["ate_loop_count"] (the decoded limbs) is correct, and
+    this oracle's NAF ladder over it reproduces the reference-shaped plain
+    binary ladder's GT exactly (verified; pinned by
+    tests/test_pairing.py::test_sw6_gt_vector).  Using the 388-bit doc
+    value instead yields a *different* (still bilinear) pairing.
     """
     from ..gadgets.std.ext_fields import build_mnt6_tower_gadgets
     from ..params._gen import curves_gen as CG, towers_gen as TG

@@ -111,6 +111,14 @@ class FpParams:
         return limbs.to_digits(self.r2, self.n_digits)
 
     @functools.cached_property
+    def r3_digits(self) -> np.ndarray:
+        """R³ mod p — converts a plain-form inverse of a Montgomery-form
+        value back to Montgomery form with one multiply (BEA path)."""
+        p = self.modulus
+        return limbs.to_digits(self.r % p * self.r % p * self.r % p,
+                               self.n_digits)
+
+    @functools.cached_property
     def zero(self) -> np.ndarray:
         return np.zeros((self.n_digits,), dtype=np.uint32)
 
@@ -198,8 +206,13 @@ def mont_redc(params: FpParams, t_raw):
 def mont_mul(params: FpParams, a, b):
     from ..ops import pallas_mont
     if pallas_mont.use_pallas() and 2 * params.n_digits <= pallas_mont.LANES:
-        # one fused VMEM kernel per multiply (ops/pallas_mont.py) — ~9x the
-        # fused-XLA path on TPU v5e and ~10³x smaller HLO graphs
+        # one fused VMEM kernel per multiply (ops/pallas_mont.py) — vastly
+        # smaller HLO graphs and no per-op HBM roundtrips.  Default is the
+        # transposed-tile kernel (digits on sublanes, REDC constant
+        # multiplies on the MXU) — fastest measured on TPU v5e; the
+        # lane-major variants remain for A/B (GINGERLIB_MXU=0 -> pure VPU).
+        if pallas_mont.use_mxu():
+            return pallas_mont.mont_mul_pallas_t(params, a, b)
         return pallas_mont.mont_mul_pallas(params, a, b)
     a, b = jnp.broadcast_arrays(a, b)
     return mont_redc(params, limbs.mul_wide_raw(a, b, 2 * params.n_digits))
@@ -246,8 +259,15 @@ def pow_const(params: FpParams, a, exp_bits: np.ndarray):
     """a^e for a fixed exponent given as MSB-first bit array (host numpy).
 
     Montgomery in, Montgomery out.  lax.scan over exponent bits keeps the
-    traced graph size independent of the exponent length.
+    traced graph size independent of the exponent length.  On TPU the whole
+    square-and-multiply ladder runs as ONE fused kernel
+    (ops/pallas_mont.pow_const_pallas) — critical for the single root
+    inversion of every batched-affine EC addition.
     """
+    from ..ops import pallas_mont
+    if pallas_mont.use_pallas() and \
+            2 * params.n_digits <= pallas_mont.LANES:
+        return pallas_mont.pow_const_pallas(params, a, exp_bits)
     one = jnp.broadcast_to(jnp.asarray(params.one_mont), a.shape)
     bits = jnp.asarray(exp_bits)
 
@@ -280,9 +300,100 @@ def pow_dyn(params: FpParams, a, exp_digits):
     return r
 
 
+def _shr1_digits(w):
+    """(w >> 1) across the digit axis (normalized 16-bit digits)."""
+    nxt = jnp.pad(w[..., 1:], [(0, 0)] * (w.ndim - 1) + [(0, 1)])
+    return ((w >> 1) | ((nxt & 1) << (DIGIT_BITS - 1))) & DIGIT_MASK
+
+
+def inv_bea_xla(params: FpParams, a):
+    """Plain-integer a^-1 mod p via masked binary extended Euclid
+    (fp_768.rs:551-605 vectorized): ~4·nbits iterations of cheap digit ops
+    in a lax.while_loop — far cheaper to COMPILE than the Fermat scan
+    (whose body embeds two full multiplies) and faster to run.  a: plain
+    digits [..., nd]; 0 -> 0."""
+    nd = params.n_digits
+    pdig = jnp.asarray(params.modulus_digits)
+    one = jnp.zeros((nd,), jnp.uint32).at[0].set(1)
+    u0 = a
+    batch = a.shape[:-1]
+    v0 = jnp.broadcast_to(pdig, a.shape)
+    b0 = jnp.broadcast_to(one, a.shape)
+    c0 = jnp.zeros_like(a)
+
+    def is_one(w):
+        return jnp.all(w == one, axis=-1)
+
+    def is_zero(w):
+        return jnp.all(w == 0, axis=-1)
+
+    def half_mod(w):
+        odd = (w[..., 0] & 1) == 1
+        t = jnp.where(odd[..., None], limbs.normalize(w + pdig, nd + 1),
+                      jnp.pad(w, [(0, 0)] * (w.ndim - 1) + [(0, 1)]))
+        return _shr1_digits(t)[..., :nd]
+
+    sub_mod_plain = lambda x, y: sub_mod(params, x, y)
+
+    max_iters = 4 * DIGIT_BITS * nd + 64
+
+    def cond(state):
+        it, u, v, b, c = state
+        running = ~(is_one(u) | is_one(v) | is_zero(u))
+        return (it < max_iters) & jnp.any(running)
+
+    def body(state):
+        it, u, v, b, c = state
+        done = is_one(u) | is_one(v) | is_zero(u)
+        u_odd = (u[..., 0] & 1) == 1
+        v_odd = (v[..., 0] & 1) == 1
+        duv, ub = limbs.sub_with_borrow(u, v)
+        dvu, _ = limbs.sub_with_borrow(v, u)
+        u_ge_v = ub == 0
+
+        case_u = ~u_odd
+        case_v = u_odd & ~v_odd
+        case_s = u_odd & v_odd & u_ge_v
+        case_t = u_odd & v_odd & ~u_ge_v
+
+        u2 = jnp.where(case_u[..., None], _shr1_digits(u),
+                       jnp.where(case_s[..., None], duv, u))
+        v2 = jnp.where(case_v[..., None], _shr1_digits(v),
+                       jnp.where(case_t[..., None], dvu, v))
+        b2 = jnp.where(case_u[..., None], half_mod(b),
+                       jnp.where(case_s[..., None], sub_mod_plain(b, c),
+                                 b))
+        c2 = jnp.where(case_v[..., None], half_mod(c),
+                       jnp.where(case_t[..., None], sub_mod_plain(c, b),
+                                 c))
+        keep = done[..., None]
+        return (it + 1,
+                jnp.where(keep, u, u2), jnp.where(keep, v, v2),
+                jnp.where(keep, b, b2), jnp.where(keep, c, c2))
+
+    _, u, v, b, c = lax.while_loop(
+        cond, body, (jnp.int32(0), u0, v0, b0, c0))
+    res = jnp.where(is_one(u)[..., None], b, c)
+    return jnp.where(is_zero(a)[..., None], jnp.zeros_like(res), res)
+
+
 def inv_mod(params: FpParams, a):
-    """a^-1 (Montgomery in/out). 0 maps to 0 (reference returns None)."""
-    return pow_const(params, a, params.inv_exp_bits)
+    """a^-1 (Montgomery in/out). 0 maps to 0 (reference returns None).
+
+    Binary extended Euclid everywhere (the reference's own algorithm,
+    fp_768.rs:551): ~4·nbits cheap masked iterations instead of ~1.5·nbits
+    full multiplies, plus one multiply by R³ to return to Montgomery form.
+    On TPU the whole loop is one fused kernel; on CPU the XLA while_loop
+    version also compiles ~10x faster than the Fermat scan.
+    """
+    from ..ops import pallas_mont
+    if pallas_mont.use_pallas() and \
+            2 * params.n_digits <= pallas_mont.LANES:
+        y = pallas_mont.inv_bea_pallas(params, a)  # (aR)^-1 plain
+    else:
+        y = inv_bea_xla(params, a)
+    return mont_mul(params, y, jnp.broadcast_to(
+        jnp.asarray(params.r3_digits), y.shape))
 
 
 def legendre(params: FpParams, a):

@@ -284,6 +284,42 @@ def ext_pow_const(ops, x, exp_bits: np.ndarray):
     return r
 
 
+def ext_batch_inverse_tree(ops, a):
+    """Invert a flat batch [N, K, nd] with ~3N muls + ONE field inversion.
+
+    Generic-tower version of fields.fp.batch_inverse_tree (the Montgomery
+    trick, reference fields/mod.rs:412): log-depth pairwise product tree up,
+    one ops.inv at the root, inverses pushed back down.  Zeros pass through
+    as zeros (like the reference's batch_inversion skipping zeros).
+    """
+    n = a.shape[0]
+    zero_mask = ops.is_zero(a)
+    one = jnp.asarray(ops.one())
+    x = jnp.where(zero_mask[..., None, None],
+                  jnp.broadcast_to(one, a.shape), a)
+
+    n2 = 1 << max(0, (n - 1).bit_length())
+    if n2 != n:
+        pad = jnp.broadcast_to(one, (n2 - n,) + a.shape[1:])
+        x = jnp.concatenate([x, pad], axis=0)
+
+    levels = [x]
+    cur = x
+    while cur.shape[0] > 1:
+        cur = ops.mul(cur[0::2], cur[1::2])
+        levels.append(cur)
+
+    inv = ops.inv(levels[-1])  # [1, K, nd]
+    for lvl in range(len(levels) - 2, -1, -1):
+        child = levels[lvl]
+        left, right = child[0::2], child[1::2]
+        inv_left = ops.mul(inv, right)
+        inv_right = ops.mul(inv, left)
+        inv = jnp.stack([inv_left, inv_right], axis=1).reshape(child.shape)
+    inv = inv[:n]
+    return jnp.where(zero_mask[..., None, None], jnp.zeros_like(inv), inv)
+
+
 def ext_from_ints(ops, comps) -> np.ndarray:
     """Host nested ints -> device element [K, n] (Montgomery)."""
     return ops.const(comps)

@@ -184,23 +184,192 @@ def msm(curve: SWCurveOps, xs, ys, scalar_digits, c: int | None = None,
     return res
 
 
-def msm_bucketed(curve: SWCurveOps, xs, ys, scalar_digits, inf_mask=None,
-                 c: int | None = None):
-    """msm() with the point count padded to the next power of two (zero
-    scalars on dummy points), so repeated prover calls with ragged lengths
-    reuse one compiled graph per bucket."""
-    n = xs.shape[0]
-    n2 = 1 << max(0, (n - 1).bit_length())
-    if n2 != n:
-        pad = n2 - n
-        xs = jnp.concatenate([xs, jnp.broadcast_to(xs[:1], (pad,) + xs.shape[1:])])
-        ys = jnp.concatenate([ys, jnp.broadcast_to(ys[:1], (pad,) + ys.shape[1:])])
+# ---------------------------------------------------------------------------
+# batched-affine Pippenger (production path)
+# ---------------------------------------------------------------------------
+#
+# Same sort/tree/Fenwick structure as msm() above, but every EC addition is
+# affine with ONE shared inversion per batched add (curve.batch_affine_add):
+# ~7 field muls per add (incl. the 3-mul batch-inversion overhead) instead of
+# ~30 for the unified projective path — the TPU analogue of the reference's
+# affine bucket running-sums after batch_normalization
+# (msm/variable_base.rs:60-66).
+
+def _apt_slice(pt, sl):
+    (x, y), inf = pt
+    return ((x[sl], y[sl]), inf[sl])
+
+
+def _apt_gather(pt, idx):
+    (x, y), inf = pt
+    return ((jnp.take(x, idx, axis=0), jnp.take(y, idx, axis=0)),
+            jnp.take(inf, idx, axis=0))
+
+
+def _apt_select(mask, a, b):
+    m = mask[..., None, None]
+    return ((jnp.where(m, a[0][0], b[0][0]), jnp.where(m, a[0][1], b[0][1])),
+            jnp.where(mask, a[1], b[1]))
+
+
+def _apt_zero(curve, batch_shape):
+    shape = tuple(batch_shape) + (curve.F.K, curve.fp.n_digits)
+    z = jnp.zeros(shape, jnp.uint32)
+    return ((z, z), jnp.ones(batch_shape, bool))
+
+
+def _affine_tree_levels(curve, pt):
+    levels = [pt]
+    cur = pt
+    while cur[0][0].shape[0] > 1:
+        cur = curve.batch_affine_add(_apt_slice(cur, np.s_[0::2]),
+                                     _apt_slice(cur, np.s_[1::2]))
+        levels.append(cur)
+    return levels
+
+
+def _affine_prefix_at(curve, levels, m):
+    """Inclusive prefix sums at counts m [B] over stored tree levels
+    (Fenwick decomposition, cf. _prefix_at)."""
+    B = m.shape[0]
+    acc = _apt_zero(curve, (B,))
+    offset = jnp.zeros_like(m)
+    for l in range(len(levels) - 1, -1, -1):
+        bit = (m >> l) & 1
+        node_idx = jnp.minimum(offset >> l,
+                               levels[l][0][0].shape[0] - 1)
+        node = _apt_gather(levels[l], node_idx)
+        added = curve.batch_affine_add(acc, node)
+        acc = _apt_select(bit == 1, added, acc)
+        offset = offset + (bit << l)
+    return acc
+
+
+def msm_affine(curve: SWCurveOps, xs, ys, scalar_digits,
+               c: int | None = None, nbits: int | None = None,
+               inf_mask=None, window_chunk: int | None = None):
+    """Variable-base MSM with batched-affine additions.  Same contract as
+    msm(); N is padded to a power of two internally.  Windows run in a
+    lax.scan over chunks of `window_chunk` vmapped windows — chunking
+    batches the per-add root inversions across windows (the single
+    inversion's ~2·nbits sequential multiplies are latency, not
+    throughput), while keeping peak memory to `chunk` windows' trees."""
+    P = curve.scalar_field
+    if nbits is None:
+        nbits = P.modulus_bits
+    N = xs.shape[0]
+    if inf_mask is None:
+        inf_mask = jnp.zeros((N,), bool)
+    n2 = 1 << max(0, (N - 1).bit_length())
+    if n2 != N:
+        pad = n2 - N
+        xs = jnp.concatenate([xs, jnp.zeros((pad,) + xs.shape[1:],
+                                            xs.dtype)])
+        ys = jnp.concatenate([ys, jnp.zeros((pad,) + ys.shape[1:],
+                                            ys.dtype)])
         scalar_digits = jnp.concatenate(
             [scalar_digits, jnp.zeros((pad,) + scalar_digits.shape[1:],
                                       scalar_digits.dtype)])
-        if inf_mask is not None:
-            inf_mask = jnp.concatenate(
-                [inf_mask, jnp.ones((pad,), inf_mask.dtype)])
+        inf_mask = jnp.concatenate([inf_mask, jnp.ones((pad,), bool)])
+        N = n2
+    if c is None:
+        c = default_window(N)
+    W = -(-nbits // c)
+    windows = _window_digits(scalar_digits, c, nbits)  # [W, N]
+    B = (1 << c) - 1
+
+    def one_window(keys):
+        order = jnp.argsort(keys)
+        keys_s = jnp.take(keys, order, axis=0)
+        pt_s = _apt_gather(((xs, ys), inf_mask), order)
+        # bucket-0 points never contribute
+        pt_s = (pt_s[0], pt_s[1] | (keys_s == 0))
+        # zero coords on dead lanes so equal-garbage pairs can't fake
+        # doubling lanes
+        mz = pt_s[1][..., None, None]
+        pt_s = ((jnp.where(mz, 0, pt_s[0][0]),
+                 jnp.where(mz, 0, pt_s[0][1])), pt_s[1])
+        levels = _affine_tree_levels(curve, pt_s)
+        total = levels[-1]
+        bvals = jnp.arange(1, B + 1, dtype=keys_s.dtype)
+        m = jnp.searchsorted(keys_s, bvals, side="left").astype(jnp.uint32)
+        prefixes = _affine_prefix_at(curve, levels, m)
+        # suffix_b = Total − prefix_b ; window sum = Σ_b suffix_b
+        tot_b = ((jnp.broadcast_to(total[0][0], (B,) + total[0][0].shape[1:]),
+                  jnp.broadcast_to(total[0][1], (B,) + total[0][1].shape[1:])),
+                 jnp.broadcast_to(total[1], (B,)))
+        neg_pre = ((prefixes[0][0], curve.F.neg(prefixes[0][1])),
+                   prefixes[1])
+        suffix = curve.batch_affine_add(tot_b, neg_pre)
+        # pad B = 2^c − 1 to 2^c with infinity, then tree reduce
+        padded = ((jnp.concatenate([suffix[0][0],
+                                    jnp.zeros_like(suffix[0][0][:1])]),
+                   jnp.concatenate([suffix[0][1],
+                                    jnp.zeros_like(suffix[0][1][:1])])),
+                  jnp.concatenate([suffix[1], jnp.ones((1,), bool)]))
+        wsum = _affine_tree_levels(curve, padded)[-1]
+        return (wsum[0][0][0], wsum[0][1][0], wsum[1][0])
+
+    if window_chunk is None:
+        window_chunk = int(min(8, max(1, (1 << 23) // max(N, 1))))
+    Wp = -(-W // window_chunk) * window_chunk
+    if Wp != W:
+        # extra all-zero-digit windows sum to infinity and are dropped
+        windows = jnp.concatenate(
+            [windows, jnp.zeros((Wp - W, N), windows.dtype)], axis=0)
+    wchunks = windows.reshape(Wp // window_chunk, window_chunk, N)
+
+    def chunk_body(carry, keys_chunk):
+        return carry, jax.vmap(one_window)(keys_chunk)
+
+    _, (wx, wy, winf) = jax.lax.scan(chunk_body, None, wchunks)
+    wx = wx.reshape((Wp,) + wx.shape[2:])[:W]
+    wy = wy.reshape((Wp,) + wy.shape[2:])[:W]
+    winf = winf.reshape((Wp,))[:W]
+
+    # horizontal fold in projective (tiny: W·(c+1) ops on batch 1)
+    one = jnp.broadcast_to(jnp.asarray(curve.F.one()), wx.shape[1:])
+    zero = jnp.zeros_like(wx[0])
+    wz = jnp.where(winf[..., None, None], zero[None], one[None])
+    wy_p = jnp.where(winf[..., None, None], one[None], wy)
+
+    def fold(res, wsum):
+        for _ in range(c):
+            res = curve.double(res)
+        return curve.add(res, wsum), None
+
+    rev = (wx[::-1], wy_p[::-1], wz[::-1])
+    res, _ = jax.lax.scan(fold, curve.zero(()), rev)
+    return res
+
+
+def msm_bucketed(curve: SWCurveOps, xs, ys, scalar_digits, inf_mask=None,
+                 c: int | None = None):
+    """Prover-facing MSM entry: batched-affine Pippenger on TPU (where
+    batch_affine_add runs as the fused Pallas kernels and one shared
+    inversion per add is cheap), projective Pippenger elsewhere — the
+    XLA form of the affine path embeds one BEA while-loop per add and
+    compiles catastrophically slowly on XLA:CPU.  Both pad N internally,
+    so repeated prover calls with ragged lengths reuse one compiled
+    graph per bucket."""
+    from .pallas_mont import use_pallas
+    if use_pallas():
+        return msm_affine(curve, xs, ys, scalar_digits, c=c,
+                          inf_mask=inf_mask)
+    n2 = 1 << max(0, (xs.shape[0] - 1).bit_length())
+    if n2 != xs.shape[0]:
+        pad = n2 - xs.shape[0]
+        if inf_mask is None:
+            inf_mask = jnp.zeros((xs.shape[0],), bool)
+        xs = jnp.concatenate([xs, jnp.zeros((pad,) + xs.shape[1:],
+                                            xs.dtype)])
+        ys = jnp.concatenate([ys, jnp.zeros((pad,) + ys.shape[1:],
+                                            ys.dtype)])
+        scalar_digits = jnp.concatenate(
+            [scalar_digits,
+             jnp.zeros((pad,) + scalar_digits.shape[1:],
+                       scalar_digits.dtype)])
+        inf_mask = jnp.concatenate([inf_mask, jnp.ones((pad,), bool)])
     return msm(curve, xs, ys, scalar_digits, c=c, inf_mask=inf_mask)
 
 
@@ -218,8 +387,8 @@ def fixed_base_msm(curve: SWCurveOps, base_affine, scalar_digits,
                    nbits: int | None = None):
     """[k_i]·G for many scalars of one base (msm/fixed_base.rs).
 
-    v1: broadcast the base and run batched double-and-add; the windowed
-    table variant comes with the Pallas kernel pass.
+    v1: broadcast the base and run batched double-and-add (kept as the
+    oracle; fixed_base_msm_windowed is the production path).
     """
     N = scalar_digits.shape[0]
     gx, gy = base_affine
@@ -227,3 +396,99 @@ def fixed_base_msm(curve: SWCurveOps, base_affine, scalar_digits,
     pt = (jnp.broadcast_to(gx, shape), jnp.broadcast_to(gy, shape),
           jnp.broadcast_to(jnp.asarray(curve.F.one()), shape))
     return curve.mul_scalar_digits(pt, scalar_digits)
+
+
+def fixed_base_table(curve: SWCurveOps, base_affine, w: int, nbits: int):
+    """Windowed multiples table for one base (msm/fixed_base.rs:15-43,
+    get_window_table): returns ((tx, ty), tinf) of shape [W, 2^w, ...] with
+    T[i][j] = j · 2^(w·i) · G.
+
+    Built device-side: W·w sequential doublings for the window bases, then
+    log2(2^w) doubling/adding levels batched across all windows (each level
+    one shared-inversion batched-affine op).
+    """
+    W = -(-nbits // w)
+    gx, gy = base_affine
+    K, nd = gx.shape[-2:]
+
+    # window bases B_i = 2^(w·i) G via a scan of w doublings (projective)
+    def dbl_w(pt, _):
+        out = pt
+        for _ in range(w):
+            out = curve.double(out)
+        return out, pt
+
+    g_proj = (gx, gy, jnp.asarray(curve.F.one()))
+    _, bases = jax.lax.scan(dbl_w, g_proj, None, length=W)
+    bx, by = curve.to_affine(bases)  # [W, K, nd] (batched inversion inside)
+
+    # multiples 0..2^w-1 of each base, doubling levels:
+    # entries [W, 2^k] -> [W, 2^(k+1)] as (2T, 2T + B)
+    tx = jnp.concatenate([jnp.zeros((W, 1, K, nd), jnp.uint32),
+                          bx[:, None]], axis=1)
+    ty = jnp.concatenate([jnp.zeros((W, 1, K, nd), jnp.uint32),
+                          by[:, None]], axis=1)
+    tinf = jnp.concatenate([jnp.ones((W, 1), bool),
+                            jnp.zeros((W, 1), bool)], axis=1)
+    binf = jnp.zeros((W,), bool)
+    while tx.shape[1] < (1 << w):
+        n = tx.shape[1]
+        flat = ((tx.reshape(W * n, K, nd), ty.reshape(W * n, K, nd)),
+                tinf.reshape(W * n))
+        dbl = curve.batch_affine_add(flat, flat)
+        bxx = jnp.broadcast_to(bx[:, None], (W, n, K, nd)).reshape(
+            W * n, K, nd)
+        byy = jnp.broadcast_to(by[:, None], (W, n, K, nd)).reshape(
+            W * n, K, nd)
+        bif = jnp.broadcast_to(binf[:, None], (W, n)).reshape(W * n)
+        dbl1 = curve.batch_affine_add(dbl, ((bxx, byy), bif))
+        # interleave: new[2j] = 2·T[j], new[2j+1] = 2·T[j] + B
+        nx = jnp.stack([dbl[0][0].reshape(W, n, K, nd),
+                        dbl1[0][0].reshape(W, n, K, nd)], axis=2)
+        ny = jnp.stack([dbl[0][1].reshape(W, n, K, nd),
+                        dbl1[0][1].reshape(W, n, K, nd)], axis=2)
+        ni = jnp.stack([dbl[1].reshape(W, n), dbl1[1].reshape(W, n)],
+                       axis=2)
+        tx = nx.reshape(W, 2 * n, K, nd)
+        ty = ny.reshape(W, 2 * n, K, nd)
+        tinf = ni.reshape(W, 2 * n)
+    return (tx, ty), tinf
+
+
+def fixed_base_msm_windowed(curve: SWCurveOps, table, scalar_digits,
+                            w: int, nbits: int):
+    """[k_i]·G via a precomputed fixed_base_table: one table gather per
+    window per scalar + a batched-affine tree reduce across windows
+    (msm/fixed_base.rs:69-79 windowed_mul, batch-first).  Returns
+    ((x, y), inf) affine points [N, ...]."""
+    (tx, ty), tinf = table
+    W = tx.shape[0]
+    N = scalar_digits.shape[0]
+    K, nd = tx.shape[-2:]
+    digits = _window_digits(scalar_digits, w, nbits)  # [W_s, N]
+    assert digits.shape[0] <= W, (digits.shape, W)
+    Ws = digits.shape[0]
+
+    # gather T[i][digit_i] for each scalar -> [Ws, N] points
+    gx = jax.vmap(lambda t, d: jnp.take(t, d, axis=0))(tx[:Ws], digits)
+    gy = jax.vmap(lambda t, d: jnp.take(t, d, axis=0))(ty[:Ws], digits)
+    gi = jax.vmap(lambda t, d: jnp.take(t, d, axis=0))(tinf[:Ws], digits)
+
+    # tree reduce across the window axis (pad to pow2 with infinity)
+    W2 = 1 << max(0, (Ws - 1).bit_length())
+    if W2 != Ws:
+        pad = W2 - Ws
+        gx = jnp.concatenate([gx, jnp.zeros((pad, N, K, nd), jnp.uint32)])
+        gy = jnp.concatenate([gy, jnp.zeros((pad, N, K, nd), jnp.uint32)])
+        gi = jnp.concatenate([gi, jnp.ones((pad, N), bool)])
+    while gx.shape[0] > 1:
+        h = gx.shape[0] // 2
+        a = ((gx[0::2].reshape(h * N, K, nd),
+              gy[0::2].reshape(h * N, K, nd)), gi[0::2].reshape(h * N))
+        b = ((gx[1::2].reshape(h * N, K, nd),
+              gy[1::2].reshape(h * N, K, nd)), gi[1::2].reshape(h * N))
+        (ox, oy), oi = curve.batch_affine_add(a, b)
+        gx = ox.reshape(h, N, K, nd)
+        gy = oy.reshape(h, N, K, nd)
+        gi = oi.reshape(h, N)
+    return (gx[0], gy[0]), gi[0]

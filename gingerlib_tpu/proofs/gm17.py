@@ -285,11 +285,14 @@ def _create_proof_device(engine, compiled, pa, z, blind, scalars):
     rd1_d, rr_d, r_d, d1_d, d12r_d, d2_d = scalars
     ni = compiled.num_inputs
 
-    wm = _jit_unit(("sap_wm", id(compiled)), lambda: lambda z, blind:
+    wm = _jit_unit(compiled, "sap_wm", lambda: lambda z, blind:
                    _sap_witness_core(compiled, z, blind))
     full, h = wm(z, blind)
-    conv = _jit_unit(("from_mont", fr), lambda: lambda x:
-                     fpmod.from_mont(fr, x))
+    conv = _PROVE_JIT_CACHE.get(("from_mont", fr))
+    if conv is None:
+        from ..jit_config import maybe_jit
+        conv = maybe_jit(lambda x: fpmod.from_mont(fr, x))
+        _PROVE_JIT_CACHE[("from_mont", fr)] = conv
     full_std = conv(full)
     h_std = conv(h)
 
@@ -328,7 +331,7 @@ def _create_proof_device(engine, compiled, pa, z, blind, scalars):
                     g1.to_affine(g_c))
         return run
 
-    asm = _jit_unit(("gm17_asm", id(engine)), build_assemble)
+    asm = _jit_unit(engine, "gm17_asm", build_assemble)
     return asm(a_acc, ga_r, b_acc, gb_r, terms, c2_acc, r_d)
 
 
@@ -346,18 +349,13 @@ def verify_proof(engine: MNTPairing, vk: GM17VerifyingKey, proof: GM17Proof,
         raise ValueError("malformed verifying key")
     scalars = [1] + [x % fr.modulus for x in public_inputs]
     sd = jnp.asarray(limbs.to_digits_batch(scalars, fr.n_digits))
-    key = (id(engine), "gpsi", int(xs.shape[0]))
-    fn = _PROVE_JIT_CACHE.get(key)
-    if fn is None:
-        from ..jit_config import maybe_jit
-        fn = maybe_jit(lambda xs, ys, sd, inf: g1.to_affine(
-            msm_mod.msm_naive(g1, xs, ys, sd, inf_mask=inf)))
-        _PROVE_JIT_CACHE[key] = fn
-    g_psi = fn(xs, ys, sd, inf)
+    from .groth16 import _jit_unit
+    g_psi = _jit_unit(engine, ("gpsi", int(xs.shape[0])),
+                      lambda: lambda xs, ys, sd, inf: g1.to_affine(
+                          msm_mod.msm_naive(g1, xs, ys, sd, inf_mask=inf)))(
+                              xs, ys, sd, inf)
 
     def aff_add(curve, a_xy, b_xy):
-        pa = curve.from_affine(*a_xy) if hasattr(curve, "from_affine") else \
-            (a_xy[0], a_xy[1])
         one = jnp.broadcast_to(jnp.asarray(curve.F.one()), a_xy[0].shape)
         pa = (a_xy[0], a_xy[1], one)
         pb = (b_xy[0], b_xy[1], one)

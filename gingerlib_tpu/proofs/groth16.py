@@ -299,7 +299,7 @@ def _params_arrays(params: Parameters):
             params.beta_g2, params.delta_g1, params.delta_g2)
 
 
-_PROVE_JIT_CACHE: dict = {}
+_PROVE_JIT_CACHE: dict = {}  # only value-hashable keys (e.g. FpParams)
 
 
 def create_proof(engine: MNTPairing, params: Parameters,
@@ -336,30 +336,36 @@ def create_proof(engine: MNTPairing, params: Parameters,
     return Proof(a=a, b=b, c=c)
 
 
-def _jit_unit(key, build):
+def _jit_unit(owner, key, build):
     """Small cached jit units: compiling the prover as a handful of
     per-stage graphs (witness map, each MSM bucket, scalar muls, assembly)
     instead of one monolithic graph — identical stages dedupe in the
-    persistent compile cache and XLA:CPU compile time stays bounded."""
-    fn = _PROVE_JIT_CACHE.get(key)
+    persistent compile cache and XLA:CPU compile time stays bounded.
+
+    The cache lives on `owner` (the object the closure was traced over —
+    compiled circuit, curve, engine), so a collected owner takes its
+    entries with it; a global id()-keyed dict could silently hand a new
+    object at a recycled address another circuit's traced closure."""
+    cache = owner.__dict__.setdefault("_jit_cache", {})
+    fn = cache.get(key)
     if fn is None:
         fn = maybe_jit(build())
-        _PROVE_JIT_CACHE[key] = fn
+        cache[key] = fn
     return fn
 
 
 def _vmsm_jit(curve, query, scalars):
     xs, ys, inf = query
     n = scalars.shape[0]
-    key = ("vmsm", id(curve), int(n), xs.shape)
-    fn = _jit_unit(key, lambda: lambda xs, ys, inf, sc:
+    key = ("vmsm", int(n), tuple(xs.shape))
+    fn = _jit_unit(curve, key, lambda: lambda xs, ys, inf, sc:
                    msm_mod.msm_bucketed(curve, xs[:n], ys[:n], sc,
                                         inf_mask=inf[:n]))
     return fn(xs, ys, inf, scalars)
 
 
 def _smul_jit(curve, affine, kd):
-    key = ("smul", id(curve))
+    key = "smul"
 
     def build():
         def run(ax, ay, kd):
@@ -370,7 +376,7 @@ def _smul_jit(curve, affine, kd):
             return tuple(c[0] for c in out)
         return run
 
-    return _jit_unit(key, build)(affine[0], affine[1], kd)
+    return _jit_unit(curve, key, build)(affine[0], affine[1], kd)
 
 
 def _create_proof_device(engine, compiled, pa, z, rd, sd, rsd, blind):
@@ -381,14 +387,18 @@ def _create_proof_device(engine, compiled, pa, z, rd, sd, rsd, blind):
      beta_g2, delta_g1, delta_g2) = pa
     ni = compiled.num_inputs
 
-    wm_key = ("wm", id(compiled), blind is not None)
-    wm = _jit_unit(wm_key, lambda: lambda z, blind:
+    wm = _jit_unit(compiled, ("wm", blind is not None),
+                   lambda: lambda z, blind:
                    _witness_map_core(compiled, z, blind))
     h = wm(z, blind)
 
-    # scalars to standard form for MSM (prover.rs:241-267)
-    conv = _jit_unit(("from_mont", fr), lambda: lambda x:
-                     fpmod.from_mont(fr, x))
+    # scalars to standard form for MSM (prover.rs:241-267); fr is a frozen
+    # value-hashable FpParams, so the global dict is safe here
+    fn = _PROVE_JIT_CACHE.get(("from_mont", fr))
+    if fn is None:
+        fn = maybe_jit(lambda x: fpmod.from_mont(fr, x))
+        _PROVE_JIT_CACHE[("from_mont", fr)] = fn
+    conv = fn
     z_std = conv(z)
     h_std = conv(h)
     aux_std = z_std[ni:]
@@ -436,7 +446,7 @@ def _create_proof_device(engine, compiled, pa, z, rd, sd, rsd, blind):
                     g1.to_affine(g_c))
         return run
 
-    asm = _jit_unit(("asm", id(engine)), build_assemble)
+    asm = _jit_unit(engine, "asm", build_assemble)
     return asm(a_acc, r_delta, alpha_g1, b1_acc, s_delta, beta_g1,
                b2_acc, s_delta2, beta_g2, l_acc, h_acc, rs_delta, rd, sd)
 
@@ -458,13 +468,9 @@ def verify_proof(engine: MNTPairing, vk: VerifyingKey, proof: Proof,
 
     scalars = [1] + [x % fr.modulus for x in public_inputs]
     sd = jnp.asarray(limbs.to_digits_batch(scalars, fr.n_digits))
-    key = (id(engine), "gic", int(xs.shape[0]))
-    fn = _PROVE_JIT_CACHE.get(key)
-    if fn is None:
-        fn = maybe_jit(lambda xs, ys, sd: g1.to_affine(
-            msm_mod.msm_naive(g1, xs, ys, sd)))
-        _PROVE_JIT_CACHE[key] = fn
-    gic_aff = fn(xs, ys, sd)
+    gic_aff = _jit_unit(engine, ("gic", int(xs.shape[0])),
+                        lambda: lambda xs, ys, sd: g1.to_affine(
+                            msm_mod.msm_naive(g1, xs, ys, sd)))(xs, ys, sd)
 
     neg_gamma = (vk.gamma_g2[0], g2.F.neg(vk.gamma_g2[1]))
     neg_delta = (vk.delta_g2[0], g2.F.neg(vk.delta_g2[1]))

@@ -286,3 +286,125 @@ def params_from_bytes(engine, data: bytes):
         b_g1_query=b_g1_query, b_g2_query=b_g2_query, h_query=h_query,
         l_query=l_query, num_inputs=num_inputs, domain_size=domain_size,
     ), off
+
+
+# ---------------------------------------------------------------------------
+# GT (Fqk) compressed serialization (ToCompressedBits/FromCompressedBits for
+# Fp4/Fp6, fields/models/fp4.rs:331-376, fp6_2over3.rs:450-495): store c1's
+# bits plus c0's parity; decompress solves the unitary relation
+# c0² − NR·c1² = 1 with a sub-field square root.
+# ---------------------------------------------------------------------------
+
+def _ext_is_odd(F, comps):
+    """Reference Field::is_odd for Fp2/Fp3 (fp2.rs:101, fp3.rs:135):
+    highest nonzero component's parity, priority c_{k-1} .. c_0."""
+    from ..gadgets.std.ext_fields import FpGOps
+    if isinstance(F, FpGOps):
+        return bool(comps[0] & 1)
+    k = F.sf.K
+    deg = F.degree if hasattr(F, "degree") else F.K // k
+    parts = [comps[i * k:(i + 1) * k] for i in range(deg)]
+    for part in reversed(parts):
+        if any(v % F.field.modulus != 0 for v in part):
+            return _ext_is_odd(F.sf, part)
+    return False
+
+
+def _ext_pow_host(F, a, e):
+    r = [1] + [0] * (F.K - 1)
+    from ..gadgets.std.groups import _host_ext_mul
+    base = list(a)
+    while e:
+        if e & 1:
+            r = _host_ext_mul(F, r, base)
+        base = _host_ext_mul(F, base, base)
+        e >>= 1
+    return r
+
+
+def _ext_sqrt_host(F, a):
+    """Tonelli-Shanks over F_{p^k} with host ints; returns None if no
+    root (fields/mod.rs:339 SquareRootField semantics for towers)."""
+    from ..gadgets.std.groups import _host_ext_mul
+    p = F.field.modulus
+    k = F.K
+    q = p ** k
+    one = [1] + [0] * (k - 1)
+    zero = [0] * k
+    a = [v % p for v in a]
+    if a == zero:
+        return zero
+    if _ext_pow_host(F, a, (q - 1) // 2) != one:
+        return None
+    # factor q - 1 = t · 2^s
+    t, s = q - 1, 0
+    while t % 2 == 0:
+        t //= 2
+        s += 1
+    # find a quadratic non-residue deterministically
+    z = None
+    for trial in range(2, 50):
+        for cand in ([trial] + [0] * (k - 1),
+                     [0] * (k - 1) + [trial] if k > 1 else None,
+                     [trial, 1] + [0] * (k - 2) if k > 1 else None):
+            if cand is None:
+                continue
+            if _ext_pow_host(F, cand, (q - 1) // 2) != one and \
+                    _ext_pow_host(F, cand, q - 1) == one:
+                z = cand
+                break
+        if z:
+            break
+    assert z is not None, "no non-residue found"
+    m, c = s, _ext_pow_host(F, z, t)
+    x = _ext_pow_host(F, a, (t + 1) // 2)
+    b = _ext_pow_host(F, a, t)
+    while b != one:
+        i, bb = 0, list(b)
+        while bb != one:
+            bb = _host_ext_mul(F, bb, bb)
+            i += 1
+        e = _ext_pow_host(F, c, 1 << (m - i - 1))
+        m, c = i, _host_ext_mul(F, e, e)
+        b = _host_ext_mul(F, b, c)
+        x = _host_ext_mul(F, x, e)
+    return x
+
+
+def gt_compress(F, comps):
+    """F: host tower descriptor of Fqk (QuadExtG over Fq2/Fq3); comps:
+    flat list of K standard-form ints.  Returns the reference's compressed
+    bit vec: c1.write_bits() ‖ parity(c0)."""
+    fq = F.field
+    k = F.sf.K
+    c0, c1 = comps[:k], comps[k:]
+    bits = []
+    for v in c1:
+        bits.extend(fp_write_bits(fq, v % fq.modulus))
+    bits.append(_ext_is_odd(F.sf, c0))
+    return bits
+
+
+def gt_decompress(F, bits):
+    """Inverse of gt_compress; raises ValueError when sqrt(1 + NR·c1²)
+    does not exist (BitSerializationError::UndefinedSqrt)."""
+    from ..gadgets.std.groups import _host_ext_mul, _host_ext_mul_const
+    from ..gadgets.std.ext_fields import _flatten
+    fq = F.field
+    p = fq.modulus
+    k = F.sf.K
+    parity = bool(bits[-1])
+    body = bits[:-1]
+    per = fq.modulus_bits
+    if len(body) != k * per:
+        raise ValueError("wrong compressed length")
+    c1 = [fp_read_bits(fq, body[i * per:(i + 1) * per]) for i in range(k)]
+    c1_sq = _host_ext_mul(F.sf, c1, c1)
+    nr_c1_sq = _host_ext_mul_const(F.sf, c1_sq, _flatten(F.nr))
+    t = [(a + b) % p for a, b in zip([1] + [0] * (k - 1), nr_c1_sq)]
+    c0 = _ext_sqrt_host(F.sf, t)
+    if c0 is None:
+        raise ValueError("undefined sqrt")
+    if _ext_is_odd(F.sf, c0) != parity:
+        c0 = [(-v) % p for v in c0]
+    return c0 + c1

@@ -112,3 +112,82 @@ def test_pow_dyn():
     e = jnp.asarray(limbs.to_digits_batch(exps, P.n_digits))
     got = to_host(P, jax.jit(lambda a, e: fp.pow_dyn(P, a, e))(a, e))
     assert got == [pow(b, x, q) for b, x in zip(base, exps)]
+
+
+@pytest.mark.parametrize("P", [SMALL, BIG, PP.SW6_FQ], ids=lambda p: p.name)
+def test_mont_mul_pallas_interpret(P):
+    """The Pallas Montgomery kernel (ops/pallas_mont.py) is the default TPU
+    mont_mul path but CPU CI normally takes the pure-XLA branch — run it in
+    interpret mode so a carry/REDC regression can't ship undetected."""
+    from gingerlib_tpu.ops import pallas_mont
+
+    q = P.modulus
+    xs = rand_ints(P, 13, seed=11) + [0, 1, q - 1]
+    ys = rand_ints(P, 13, seed=12) + [q - 1, q - 1, q - 1]
+    a, b = to_dev(P, xs), to_dev(P, ys)
+    got = to_host(P, pallas_mont.mont_mul_pallas(P, a, b, interpret=True))
+    assert got == [(x * y) % q for x, y in zip(xs, ys)]
+
+
+@pytest.mark.parametrize("P", [SMALL, BIG], ids=lambda p: p.name)
+def test_pow_const_pallas_interpret(P):
+    """Fused pow-chain kernel (ops/pallas_mont.pow_const_pallas) vs python
+    pow, interpret mode (small exponent: the interpreter replays the ladder
+    step by step)."""
+    from gingerlib_tpu.ops import pallas_mont, limbs
+
+    q = P.modulus
+    xs = rand_ints(P, 5, seed=3) + [0, 1, q - 1]
+    a = to_dev(P, xs)
+    e = 0b110100111011
+    bits = limbs.bits_msb_first(e, e.bit_length())
+    got = to_host(P, pallas_mont.pow_const_pallas(P, a, bits,
+                                                  interpret=True))
+    assert got == [pow(x, e, q) for x in xs]
+
+
+@pytest.mark.parametrize("P", [SMALL, BIG], ids=lambda p: p.name)
+def test_mont_mul_mxu_interpret(P):
+    """MXU-REDC Montgomery kernel (constant multiplies as bf16 matmuls) vs
+    python-int oracle, interpret mode."""
+    from gingerlib_tpu.ops import pallas_mont
+
+    q = P.modulus
+    xs = rand_ints(P, 13, seed=21) + [0, 1, q - 1]
+    ys = rand_ints(P, 13, seed=22) + [q - 1, q - 1, q - 1]
+    a, b = to_dev(P, xs), to_dev(P, ys)
+    got = to_host(P, pallas_mont.mont_mul_pallas_mxu(P, a, b,
+                                                     interpret=True))
+    assert got == [(x * y) % q for x, y in zip(xs, ys)]
+
+
+def test_inv_bea_pallas_interpret():
+    """In-kernel BEA inversion vs python pow(x, -1, q), interpret mode
+    (SMALL field only — the interpreter replays ~4·nbits iterations)."""
+    from gingerlib_tpu.ops import pallas_mont
+    import jax.numpy as jnp
+
+    P = SMALL
+    q = P.modulus
+    xs = rand_ints(P, 4, seed=31) + [0, 1, q - 1, 2]
+    a = to_dev(P, xs)                                 # Montgomery form aR
+    y = pallas_mont.inv_bea_pallas(P, a, interpret=True)  # plain (aR)^-1
+    out = fp.mont_mul(P, jnp.asarray(y), jnp.broadcast_to(
+        jnp.asarray(P.r3_digits), np.asarray(y).shape))
+    got = to_host(P, out)
+    assert got == [pow(x, -1, q) if x else 0 for x in xs]
+
+
+@pytest.mark.parametrize("P", [SMALL, BIG], ids=lambda p: p.name)
+def test_mont_mul_transposed_interpret(P):
+    """Transposed-tile Montgomery kernel (digits on sublanes, MXU REDC,
+    semi-normalized intermediate carries) vs python-int oracle."""
+    from gingerlib_tpu.ops import pallas_mont
+
+    q = P.modulus
+    xs = rand_ints(P, 13, seed=41) + [0, 1, q - 1]
+    ys = rand_ints(P, 13, seed=42) + [q - 1, q - 1, q - 1]
+    a, b = to_dev(P, xs), to_dev(P, ys)
+    got = to_host(P, pallas_mont.mont_mul_pallas_t(P, a, b,
+                                                   interpret=True))
+    assert got == [(x * y) % q for x, y in zip(xs, ys)]

