@@ -42,6 +42,24 @@ def main():
         # a device->host fetch is the only reliable completion barrier
         return np.asarray(x)
 
+    # probe the fused batched-affine EC kernels once; on any backend
+    # rejection fall back to the XLA batch_affine_add form for the run
+    from gingerlib_tpu.ops import pallas_ec
+    if pallas_ec.supports(g1):
+        try:
+            gx, gy = g1.generator_affine
+            shape = (4,) + gx.shape[-2:]
+            pt = ((jnp.broadcast_to(gx, shape),
+                   jnp.broadcast_to(gy, shape)),
+                  jnp.zeros((4,), bool))
+            probe = jax.jit(lambda p: g1.batch_affine_add(p, p))
+            fetch(probe(pt)[0][0])
+        except Exception as e:  # pragma: no cover - TPU safety net
+            import sys
+            print(f"fused EC kernels unavailable ({type(e).__name__}); "
+                  f"using XLA path", file=sys.stderr)
+            os.environ["GINGERLIB_FUSED_EC"] = "0"
+
     # on-device point generation: [k]G, k random in [1, 2^32)
     gen_bits = 32
     rng = np.random.RandomState(42)

@@ -1,0 +1,182 @@
+"""Quick TPU validation + timing of the round-2 kernel paths.
+
+Run on the real chip (JAX_PLATFORMS=axon, the sandbox default):
+  python benchmarks/tpu_smoke.py [mont|inv|msm|all]
+"""
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def fetch(x):
+    return np.asarray(x)
+
+
+def check_mont():
+    from gingerlib_tpu import params as PP
+    from gingerlib_tpu.ops import pallas_mont, limbs
+    from gingerlib_tpu.fields import fp as fpmod
+
+    P = PP.MNT4753_FQ
+    q = P.modulus
+    rng = np.random.RandomState(7)
+    n = 1 << 14
+    xs = [int.from_bytes(rng.bytes(94), "little") % q for _ in range(256)]
+    ys = [int.from_bytes(rng.bytes(94), "little") % q for _ in range(256)]
+    xs = (xs * ((n // 256) + 1))[:n]
+    ys = (ys * ((n // 256) + 1))[:n]
+    a = jnp.asarray(limbs.to_digits_batch(
+        [x * P.r % q for x in xs], P.n_digits))
+    b = jnp.asarray(limbs.to_digits_batch(
+        [y * P.r % q for y in ys], P.n_digits))
+
+    for name, fn in [
+        ("vpu", pallas_mont.mont_mul_pallas),
+        ("mxu", pallas_mont.mont_mul_pallas_mxu),
+        ("t", pallas_mont.mont_mul_pallas_t),
+    ]:
+        run = jax.jit(lambda a, b, fn=fn: fn(P, a, b))
+        out = fetch(run(a, b))
+        got = [limbs.from_digits(out[i]) * pow(P.r, -1, q) % q
+               for i in range(0, n, n // 8)]
+        exp = [(xs[i] * ys[i]) % q for i in range(0, n, n // 8)]
+        ok = got == exp
+        t0 = time.perf_counter()
+        reps = 10
+        for _ in range(reps):
+            out = run(a, b)
+        fetch(out)
+        dt = (time.perf_counter() - t0) / reps
+        print(f"mont[{name}] ok={ok} batch={n} {n/dt/1e6:.2f} Mmul/s "
+              f"({dt*1e3:.2f} ms)")
+
+
+def check_inv():
+    from gingerlib_tpu import params as PP
+    from gingerlib_tpu.ops import limbs
+    from gingerlib_tpu.fields import fp as fpmod
+
+    P = PP.MNT4753_FQ
+    q = P.modulus
+    rng = np.random.RandomState(8)
+    n = 256
+    xs = [int.from_bytes(rng.bytes(94), "little") % q for _ in range(n)]
+    a = jnp.asarray(limbs.to_digits_batch(
+        [x * P.r % q for x in xs], P.n_digits))
+    run = jax.jit(lambda a: fpmod.inv_mod(P, a))
+    out = fetch(run(a))
+    got = [limbs.from_digits(out[i]) * pow(P.r, -1, q) % q for i in range(4)]
+    exp = [pow(xs[i], -1, q) for i in range(4)]
+    ok = got == exp
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        out = run(a)
+    fetch(out)
+    dt = (time.perf_counter() - t0) / reps
+    print(f"inv[bea] ok={ok} batch={n} {dt*1e3:.2f} ms/batch")
+
+
+def check_msm(log2n=12):
+    from gingerlib_tpu.curves import instances as CI
+    from gingerlib_tpu.ops import msm as msm_mod, limbs
+
+    g1 = CI.mnt4753_g1()
+    fr = g1.scalar_field
+    n = 1 << log2n
+    rng = np.random.RandomState(42)
+
+    gen_bits = 32
+    t0 = time.perf_counter()
+    table = jax.jit(lambda: msm_mod.fixed_base_table(
+        g1, g1.generator_affine, w=8, nbits=gen_bits))()
+    fetch(table[0][0])
+    print(f"fixed_base_table: {time.perf_counter()-t0:.1f}s")
+    gen = jax.jit(lambda kd: msm_mod.fixed_base_msm_windowed(
+        g1, table, kd, w=8, nbits=gen_bits))
+    ks = rng.randint(1, 1 << 31, size=n).astype(np.int64) * 2 + 1
+    kd = jnp.asarray(limbs.to_digits_batch([int(k) for k in ks],
+                                           fr.n_digits))
+    t0 = time.perf_counter()
+    (xs, ys), inf = gen(kd)
+    xs_np, ys_np = fetch(xs), fetch(ys)
+    print(f"gen {n} points: {time.perf_counter()-t0:.1f}s "
+          f"(inf any: {bool(fetch(inf).any())})")
+    xs, ys = jnp.asarray(xs_np), jnp.asarray(ys_np)
+
+    scalars = [int.from_bytes(rng.bytes(94), "little") % fr.modulus
+               for _ in range(n)]
+    sd = jnp.asarray(limbs.to_digits_batch(scalars, fr.n_digits))
+
+    run = jax.jit(lambda xs, ys, sd: msm_mod.msm_affine(g1, xs, ys, sd))
+    t0 = time.perf_counter()
+    out = run(xs, ys, sd)
+    fetch(out[0])
+    print(f"msm_affine compile+run: {time.perf_counter()-t0:.1f}s")
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = run(xs, ys, sd)
+    fetch(out[0])
+    dt = (time.perf_counter() - t0) / reps
+    print(f"msm_affine n=2^{log2n}: {dt:.2f}s -> {n/dt:.0f} pts/s")
+
+    # correctness vs host: expected scalar = sum k_i s_i mod r
+    exp_k = sum(int(k) * s for k, s in zip(ks, scalars)) % fr.modulus
+    exp = jax.jit(lambda: g1.to_affine(g1.mul_const(g1.generator(()),
+                                                    exp_k)))()
+    res_aff = jax.jit(g1.to_affine)(out)
+    ok = (np.array_equal(fetch(res_aff[0]), fetch(exp[0])) and
+          np.array_equal(fetch(res_aff[1]), fetch(exp[1])))
+    print(f"msm_affine correct: {ok}")
+
+
+def check_rns():
+    """RNS Montgomery kernel (MXU base extensions) vs the positional
+    kernels: correctness vs python oracle + throughput."""
+    from gingerlib_tpu import params as PP
+    from gingerlib_tpu.ops import rns, pallas_rns
+
+    q = PP.MNT4753_FQ.modulus
+    ctx = rns.make_context(q)
+    rng = np.random.RandomState(9)
+    n = 1 << 14
+    base = [int.from_bytes(rng.bytes(94), "little") % q for _ in range(256)]
+    xs = (base * ((n // 256) + 1))[:n]
+    ys = list(reversed(xs))
+    x = pallas_rns.pack_rns(ctx, *rns.to_rns(ctx, xs))
+    y = pallas_rns.pack_rns(ctx, *rns.to_rns(ctx, ys))
+    run = jax.jit(lambda x, y: pallas_rns.mont_mul_rns_pallas(q, x, y))
+    out = fetch(run(x, y))
+    ta, _ = pallas_rns.unpack_rns(ctx, out)
+    ta = np.asarray(ta)
+    minv = pow(ctx.MA, -1, q)
+    ok = all(
+        rns.from_rns_int(ctx, [int(v) for v in ta[i]]) % q ==
+        xs[i] * ys[i] * minv % q
+        for i in range(0, n, n // 8))
+    t0 = time.perf_counter()
+    reps = 10
+    for _ in range(reps):
+        out = run(x, y)
+    fetch(out)
+    dt = (time.perf_counter() - t0) / reps
+    print(f"mont[rns] ok={ok} batch={n} {n/dt/1e6:.2f} Mmul/s "
+          f"({dt*1e3:.2f} ms, k={ctx.k} channels x 2 bases)")
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    print("backend:", jax.default_backend())
+    if which in ("mont", "all"):
+        check_mont()
+    if which in ("rns", "all"):
+        check_rns()
+    if which in ("inv", "all"):
+        check_inv()
+    if which in ("msm", "all"):
+        log2n = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+        check_msm(log2n)

@@ -191,6 +191,60 @@ class SWCurveOps:
         out = self._select(p_inf, self.from_affine(x2, y2), out)
         return out
 
+    def batch_affine_add(self, a_pt, b_pt):
+        """Pairwise affine addition with ONE shared inversion for the whole
+        batch (the TPU form of the reference's batch_normalization + affine
+        running sums, msm/variable_base.rs:60-66 — an affine add costs
+        ~4 muls + 3 batch-inversion muls vs ~30 for unified projective).
+
+        a_pt, b_pt: ((x, y), inf) with x, y [N, K, nd] and inf [N] bool.
+        Complete: handles doubling, P + (-P) and infinity lanes branch-free.
+        Returns ((x3, y3), inf3).
+
+        On TPU, K=1 curves take the fused two-kernel Pallas path
+        (ops/pallas_ec.py) — same semantics, ~one HLO per field op less
+        glue; towers (G2) and CPU keep the XLA form below.
+        """
+        from ..ops import pallas_ec
+        from ..ops.pallas_mont import use_pallas
+        if use_pallas() and pallas_ec.supports(self):
+            return pallas_ec.batch_affine_add_fused(self, a_pt, b_pt)
+        from ..fields.towers import ext_batch_inverse_tree
+        F = self.F
+        (x1, y1), inf1 = a_pt
+        (x2, y2), inf2 = b_pt
+
+        dx = F.sub(x2, x1)
+        dy = F.sub(y2, y1)
+        same_x = F.is_zero(dx)
+        same_y = F.is_zero(dy)
+        dbl = same_x & same_y & ~inf1 & ~inf2
+        anti = same_x & ~same_y & ~inf1 & ~inf2
+
+        # doubling lanes: λ = (3x² + a) / 2y ; others: λ = dy / dx
+        xx = F.sqr(x1)
+        three_xx_a = F.add(F.add(F.double(xx), xx), self.a)
+        sel = dbl[..., None, None]
+        num = jnp.where(sel, three_xx_a, dy)
+        den = jnp.where(sel, F.double(y1), dx)
+        # dead lanes (anti / inf) keep den possibly 0 — batch inverse maps
+        # 0 -> 0 and the result is selected away below
+        dinv = ext_batch_inverse_tree(F, den)
+        lam = F.mul(num, dinv)
+        x3 = F.sub(F.sub(F.sqr(lam), x1), x2)
+        y3 = F.sub(F.mul(lam, F.sub(x1, x3)), y1)
+
+        y1_zero = F.is_zero(y1)
+        inf3 = (inf1 & inf2) | anti | (dbl & y1_zero)
+        m1 = inf1[..., None, None]
+        m2 = inf2[..., None, None]
+        x_out = jnp.where(m1, x2, jnp.where(m2, x1, x3))
+        y_out = jnp.where(m1, y2, jnp.where(m2, y1, y3))
+        zero = jnp.zeros_like(x_out)
+        mz = inf3[..., None, None]
+        return ((jnp.where(mz, zero, x_out), jnp.where(mz, zero, y_out)),
+                inf3)
+
     def _select(self, mask, A, B):
         m = mask[..., None, None]
         return tuple(jnp.where(m, a, b) for a, b in zip(A, B))

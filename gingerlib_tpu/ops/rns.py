@@ -1,0 +1,423 @@
+"""Residue-number-system (RNS) Montgomery arithmetic for TPU.
+
+Motivation.  The positional 16-bit-digit Montgomery kernel
+(ops/pallas_mont.py) is VPU-bound: a 753-bit multiply is ~2.48^2 digit
+MACs that the MXU cannot contract because both operands vary per element.
+In RNS, a multiply mod M = prod(m_i) is CHANNELWISE (one u32 multiply per
+14-bit channel — O(k) VPU work), and the only O(k^2) step — base
+extension between two RNS bases — is a matrix product with CONSTANT
+matrices (|M/m_i|_{m'_j}), which batches over elements as an
+[N, k] x [k, k] matmul: exactly the MXU's shape.  Estimated ceiling is
+~5-10x the positional kernel for 753-bit fields.
+
+Scheme (Kawamura et al., CHES 2000; Bajard-Didier-Kornerup):
+two coprime bases A = {m_1..m_k}, B = {m_1'..m_k'} of 14-bit primes with
+M_A, M_B > 4p.  Montgomery REDC with R = M_A:
+
+    s   = x * y                 (channelwise, both bases)
+    q_A = s_A * (-p^-1 mod M_A) (channelwise in A)
+    q_B = BaseExtend_{A->B}(q_A)
+    t_B = (s_B + q_B * p) * M_A^-1   (channelwise in B; exact division —
+                                      s + q p = 0 mod M_A)
+    t_A = BaseExtend_{B->A}(t_B)
+    t ≡ x y M_A^-1 (mod p),  t < 2p      (requires M_A > 4p)
+
+Base extension (Kawamura-style):  sigma_i = |x_i * (M/m_i)^-1|_{m_i};
+x = sum_i sigma_i M/m_i - alpha M with alpha = floor(S),
+S = sum_i sigma_i/m_i (note frac(S) = x/M).  alpha is recovered from
+integer weights w_i = floor(2^25/m_i): sum sigma_i w_i underestimates
+2^25 S by < k*2^14 < 2^20, so
+  - with offset 2^20 the floor is EXACT whenever x/M < 1 - 2^-5
+    (used for the t-extension, where t < cp << M/2), and
+  - without offset the floor never overestimates (est in {alpha-1,
+    alpha}), used for the q-extension: an underestimate yields
+    q' = q + M, i.e. t' = t + p — absorbed by the value-bound budget.
+Then |x|_{m'_j} = |sum_i sigma_i |M/m_i|_{m'_j} - alpha |M|_{m'_j}|;
+the sum over i is the constant [k, k] matmul.
+
+Value bounds: with guard g (M > 2^g * p) and mul inputs < c*p,
+outputs are < (c^2 p/M + 2) p + p < 3p whenever 2^g > c^2; g = 10
+admits c = 24, enough headroom for the EC add/sub chains between
+multiplies without any RNS-side reductions.
+
+This module is the HOST/XLA reference layer: context construction,
+python-int golden model, and a vectorized jnp implementation used to
+validate the scheme end-to-end before the Pallas kernel lands.
+
+Reference counterpart: none (ginger-lib is positional-only,
+fp_768.rs CIOS); this is TPU-native redesign per SURVEY §7 stance.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax.numpy as jnp
+
+CH_BITS = 14
+CH_MIN = 3 << (CH_BITS - 2)   # primes in (0.75, 1) * 2^14
+CH_MAX = 1 << CH_BITS
+W_BITS = 25                   # alpha weights w_i = floor(2^25 / m_i)
+ALPHA_OFF = 1 << 20           # exact-floor offset (>= k * 2^14 error)
+GUARD_BITS = 10               # M > 2^10 p: mul inputs may reach 24p
+
+
+def _sieve_primes(lo: int, hi: int):
+    sieve = np.ones(hi, dtype=bool)
+    sieve[:2] = False
+    for i in range(2, int(hi ** 0.5) + 1):
+        if sieve[i]:
+            sieve[i * i::i] = False
+    return [int(i) for i in range(hi - 1, lo, -1) if sieve[i]]
+
+
+@dataclass(frozen=True)
+class RNSContext:
+    """Precomputed tables for one prime field p under a double RNS base."""
+
+    p: int
+    k: int
+    mA: tuple          # k channel moduli of base A (R = M_A)
+    mB: tuple
+    MA: int
+    MB: int
+    # Kawamura sigma factors: |(M/m_i)^-1|_{m_i}
+    sigA: tuple
+    sigB: tuple
+    # alpha weights floor(2^W_BITS / m_i)
+    wA: tuple
+    wB: tuple
+    # base-extension matrices C[i][j] = |M_src/m_i|_{m_dst_j}
+    extAB: np.ndarray  # [k, k]  A -> B
+    extBA: np.ndarray
+    # -alpha correction rows: |M_src|_{m_dst_j}
+    MA_modB: np.ndarray
+    MB_modA: np.ndarray
+    # channelwise constants
+    negpinv_A: tuple   # |-p^-1|_{m_i}, base A
+    p_B: tuple         # |p|_{m'_j}
+    MAinv_B: tuple     # |M_A^-1|_{m'_j}
+    # Montgomery form helpers
+    r_mod_p: int = field(init=False, default=0)      # M_A mod p
+
+    def __post_init__(self):
+        object.__setattr__(self, "r_mod_p", self.MA % self.p)
+
+
+@functools.lru_cache(maxsize=8)
+def make_context(p: int) -> RNSContext:
+    k = -(-(p.bit_length() + GUARD_BITS) // (CH_BITS - 1))
+    primes = _sieve_primes(CH_MIN, CH_MAX)
+    while True:
+        if len(primes) < 2 * k:
+            raise ValueError("not enough 14-bit channel primes")
+        mA = tuple(primes[:k])
+        mB = tuple(primes[k:2 * k])
+        MA = 1
+        for m in mA:
+            MA *= m
+        MB = 1
+        for m in mB:
+            MB *= m
+        if MA >> GUARD_BITS > p and MB >> GUARD_BITS > p:
+            break
+        k += 1
+
+    def sig(ms, M):
+        return tuple(pow(M // m % m, -1, m) for m in ms)
+
+    def ext_matrix(src, dst, Msrc):
+        C = np.zeros((len(src), len(dst)), dtype=np.uint32)
+        for i, mi in enumerate(src):
+            big = Msrc // mi
+            for j, mj in enumerate(dst):
+                C[i, j] = big % mj
+        return C
+
+    return RNSContext(
+        p=p, k=k, mA=mA, mB=mB, MA=MA, MB=MB,
+        sigA=sig(mA, MA), sigB=sig(mB, MB),
+        wA=tuple((1 << W_BITS) // m for m in mA),
+        wB=tuple((1 << W_BITS) // m for m in mB),
+        extAB=ext_matrix(mA, mB, MA),
+        extBA=ext_matrix(mB, mA, MB),
+        MA_modB=np.asarray([MA % m for m in mB], dtype=np.uint32),
+        MB_modA=np.asarray([MB % m for m in mA], dtype=np.uint32),
+        negpinv_A=tuple((-pow(p, -1, m)) % m for m in mA),
+        p_B=tuple(p % m for m in mB),
+        MAinv_B=tuple(pow(MA % m, -1, m) for m in mB),
+    )
+
+
+# ---------------------------------------------------------------------------
+# python-int golden model
+# ---------------------------------------------------------------------------
+
+def to_rns_int(ctx: RNSContext, x: int):
+    """x (< M) -> (residues_A, residues_B) as tuples of ints."""
+    return (tuple(x % m for m in ctx.mA), tuple(x % m for m in ctx.mB))
+
+
+def from_rns_int(ctx: RNSContext, xa) -> int:
+    """CRT reconstruction from base A residues."""
+    x = 0
+    for i, m in enumerate(ctx.mA):
+        Mi = ctx.MA // m
+        x += xa[i] * (pow(Mi, -1, m) * Mi)
+    return x % ctx.MA
+
+
+def _alpha_est(sigmas, ws, exact: bool) -> int:
+    """floor(sum sigma_i/m_i) from integer weights.  sum(sigma*w)
+    underestimates 2^25 * S by < k*2^14 <= ALPHA_OFF; with the offset the
+    floor is exact for x/M < 1 - 2^-5 (`exact=True`, t-extension);
+    without it the estimate never overestimates (q-extension)."""
+    t = sum(s * w for s, w in zip(sigmas, ws))
+    if exact:
+        t += ALPHA_OFF
+    return t >> W_BITS
+
+
+def base_extend_int(ctx: RNSContext, x_src, src: str,
+                    exact: bool = True) -> tuple:
+    """Extend residues from base `src` to the other base (golden model)."""
+    if src == "A":
+        ms, sig, ws, C, Mcorr, dst = (ctx.mA, ctx.sigA, ctx.wA, ctx.extAB,
+                                      ctx.MA_modB, ctx.mB)
+    else:
+        ms, sig, ws, C, Mcorr, dst = (ctx.mB, ctx.sigB, ctx.wB, ctx.extBA,
+                                      ctx.MB_modA, ctx.mA)
+    sigmas = [x * s % m for x, s, m in zip(x_src, sig, ms)]
+    alpha = _alpha_est(sigmas, ws, exact)
+    out = []
+    for j, mj in enumerate(dst):
+        acc = sum(s * int(C[i, j]) for i, s in enumerate(sigmas))
+        acc -= alpha * int(Mcorr[j])
+        out.append(acc % mj)
+    return tuple(out)
+
+
+def mont_mul_rns_int(ctx: RNSContext, x, y):
+    """(xa, xb), (ya, yb) -> (ta, tb) with t = x y M_A^-1 mod p (t < 2p).
+    Inputs < 2p in value."""
+    xa, xb = x
+    ya, yb = y
+    sa = tuple(a * b % m for a, b, m in zip(xa, ya, ctx.mA))
+    sb = tuple(a * b % m for a, b, m in zip(xb, yb, ctx.mB))
+    qa = tuple(s * c % m for s, c, m in zip(sa, ctx.negpinv_A, ctx.mA))
+    qb = base_extend_int(ctx, qa, "A", exact=False)
+    tb = tuple((s + q * pj) * mi % m
+               for s, q, pj, mi, m in zip(sb, qb, ctx.p_B,
+                                          ctx.MAinv_B, ctx.mB))
+    ta = base_extend_int(ctx, tb, "B", exact=True)
+    return (ta, tb)
+
+
+# ---------------------------------------------------------------------------
+# vectorized jnp model (channels on the last axis)
+# ---------------------------------------------------------------------------
+
+def _chan_mul_mod(a, b, ms):
+    """channelwise (a*b) mod m on u32 arrays; products < 2^28."""
+    return (a * b) % ms
+
+
+def to_rns(ctx: RNSContext, xs) -> tuple:
+    """list of python ints -> (resA [N, k], resB [N, k]) u32 arrays."""
+    ra = np.asarray([[x % m for m in ctx.mA] for x in xs], np.uint32)
+    rb = np.asarray([[x % m for m in ctx.mB] for x in xs], np.uint32)
+    return jnp.asarray(ra), jnp.asarray(rb)
+
+
+def from_rns(ctx: RNSContext, ra) -> list:
+    """device residues (base A) -> python ints via CRT."""
+    ra = np.asarray(ra)
+    return [from_rns_int(ctx, [int(v) for v in row]) for row in ra]
+
+
+def _base_extend(ctx: RNSContext, x, src: str, exact: bool):
+    """Vectorized Kawamura extension: x [N, k] u32 -> [N, k] u32 in the
+    other base.  The inner product runs in int32 chunks (7-bit splits of
+    sigma and C) so the Pallas version can map it to bf16 MXU matmuls
+    unchanged."""
+    if src == "A":
+        ms = jnp.asarray(ctx.mA, jnp.uint32)
+        sig = jnp.asarray(ctx.sigA, jnp.uint32)
+        ws = jnp.asarray(ctx.wA, jnp.uint32)
+        C = jnp.asarray(ctx.extAB, jnp.uint32)
+        Mcorr = jnp.asarray(ctx.MA_modB, jnp.uint32)
+        md = jnp.asarray(ctx.mB, jnp.uint32)
+    else:
+        ms = jnp.asarray(ctx.mB, jnp.uint32)
+        sig = jnp.asarray(ctx.sigB, jnp.uint32)
+        ws = jnp.asarray(ctx.wB, jnp.uint32)
+        C = jnp.asarray(ctx.extBA, jnp.uint32)
+        Mcorr = jnp.asarray(ctx.MB_modA, jnp.uint32)
+        md = jnp.asarray(ctx.mA, jnp.uint32)
+    sigma = _chan_mul_mod(x, sig[None, :], ms[None, :])      # [N, k]
+    # sigma*w < 2^25.4 and k < 64 keep the sum u32-exact (< 2^31.4)
+    t = jnp.sum(sigma * ws[None, :], axis=-1)
+    if exact:
+        t = t + ALPHA_OFF
+    alpha = t >> W_BITS                                       # [N]
+
+    # sum_i sigma_i C_ij in 7-bit chunks: each partial product sum is
+    # < k * 2^14 < 2^21 — int32-exact (and f32/bf16-matmul-exact on TPU)
+    s_lo = (sigma & 0x7F).astype(jnp.int32)
+    s_hi = (sigma >> 7).astype(jnp.int32)
+    c_lo = (C & 0x7F).astype(jnp.int32)
+    c_hi = (C >> 7).astype(jnp.int32)
+    p00 = s_lo @ c_lo
+    p01 = s_lo @ c_hi
+    p10 = s_hi @ c_lo
+    p11 = s_hi @ c_hi                                        # each < 2^21
+    mdl = md[None, :].astype(jnp.uint32)
+    mid = (p01 + p10).astype(jnp.uint32) % mdl               # < 2^14
+    top = p11.astype(jnp.uint32) % mdl
+    # acc = p00 + mid*2^7 + top*2^14 mod m  (< 2^22 + 2^21 + 2^28: fits)
+    acc = (p00.astype(jnp.uint32) + (mid << 7) + (top << CH_BITS)) % mdl
+    corr = _chan_mul_mod(alpha[:, None].astype(jnp.uint32),
+                         Mcorr[None, :], mdl)
+    return (acc + mdl - corr) % mdl
+
+
+def mont_mul_rns(ctx: RNSContext, x, y):
+    """Vectorized RNS Montgomery multiply.  x, y: (resA, resB) [N, k]
+    u32; returns (resA, resB) of x*y*M_A^-1 mod p (values < 2p)."""
+    xa, xb = x
+    ya, yb = y
+    mA = jnp.asarray(ctx.mA, jnp.uint32)[None, :]
+    mB = jnp.asarray(ctx.mB, jnp.uint32)[None, :]
+    sa = _chan_mul_mod(xa, ya, mA)
+    sb = _chan_mul_mod(xb, yb, mB)
+    qa = _chan_mul_mod(sa, jnp.asarray(ctx.negpinv_A, jnp.uint32)[None, :],
+                       mA)
+    qb = _base_extend(ctx, qa, "A", exact=False)
+    sqp = (sb + _chan_mul_mod(qb, jnp.asarray(ctx.p_B, jnp.uint32)[None, :],
+                              mB)) % mB
+    tb = _chan_mul_mod(sqp, jnp.asarray(ctx.MAinv_B, jnp.uint32)[None, :],
+                       mB)
+    ta = _base_extend(ctx, tb, "B", exact=True)
+    return (ta, tb)
+
+
+# ---------------------------------------------------------------------------
+# positional <-> RNS conversions (jnp reference; kernels mirror these)
+# ---------------------------------------------------------------------------
+#
+# to: x given as nd 16-bit digits -> residues: x mod m = sum_j d_j |2^16j|_m,
+# a constant [nd, k] matmul (8-bit digit splits x 7-bit matrix splits keep
+# every partial sum < 48*255*127 < 2^21: f32/bf16-matmul exact).
+# from: CRT x = sum_i sigma_i M/m_i - alpha M, accumulated directly in
+# positional digit columns (constant digit matrices), then carry-resolved;
+# valid for values < 4p (the post-Montgomery range), reduced canonical by
+# conditional subtracts.
+
+def _pos_rns_matrices(ctx: RNSContext, nd: int):
+    """constant tables for positional<->RNS over base A + B."""
+    ms = list(ctx.mA) + list(ctx.mB)
+    P2 = np.zeros((nd, 2 * ctx.k), np.uint32)      # |2^(16 j)|_{m_i}
+    for i, m in enumerate(ms):
+        acc = 1 % m
+        for j in range(nd):
+            P2[j, i] = acc
+            acc = acc * ((1 << 16) % m) % m
+    return P2
+
+
+def to_rns_digits(ctx: RNSContext, digits):
+    """positional digits [N, nd] u32 (plain form, value < 2^(16 nd)) ->
+    (resA, resB) [N, k] u32."""
+    nd = digits.shape[-1]
+    P2 = _pos_rns_matrices(ctx, nd)
+    ms = jnp.asarray(list(ctx.mA) + list(ctx.mB), jnp.uint32)[None, :]
+    d_lo = (digits & 0xFF).astype(jnp.int32)
+    d_hi = (digits >> 8).astype(jnp.int32)
+    c_lo = jnp.asarray(P2 & 0x7F, jnp.int32)
+    c_hi = jnp.asarray(P2 >> 7, jnp.int32)
+    p00 = (d_lo @ c_lo).astype(jnp.uint32) % ms
+    p01 = (d_lo @ c_hi).astype(jnp.uint32) % ms
+    p10 = (d_hi @ c_lo).astype(jnp.uint32) % ms
+    p11 = (d_hi @ c_hi).astype(jnp.uint32) % ms
+    acc = (p00 + (p01 << 7) + (p10 << 8) + (p11 << 15)) % ms
+    return acc[:, :ctx.k], acc[:, ctx.k:]
+
+
+def _crt_digit_matrices(ctx: RNSContext):
+    """digit tables for CRT reconstruction from base A (wide enough for
+    sum_i sigma_i M_A/m_i < 2k * M_A): D[i, j] = digit j of M_A/m_i;
+    MD[j] = digit j of M_A."""
+    from .limbs import to_digits
+    nd_w = -(-(ctx.MA.bit_length() + 8) // 16) + 1
+    D = np.zeros((ctx.k, nd_w), np.uint32)
+    for i, m in enumerate(ctx.mA):
+        D[i] = to_digits(ctx.MA // m, nd_w)
+    MD = np.asarray(to_digits(ctx.MA, nd_w), np.uint32)
+    return D, MD
+
+
+def from_rns_digits(ctx: RNSContext, ra, p_digits, nd: int):
+    """residues (base A) [N, k] -> canonical positional digits [N, nd]
+    (plain form), valid for represented values < 4p < M_A/64.
+
+    CRT in digit space: sigma [N,k] x D [k,nd_wide] accumulated as 8-bit
+    column chunks (nd_wide covers M_A, which is GUARD_BITS+alpha-margin
+    wider than p), minus alpha*M_A digits, carry-resolved, then <=3
+    conditional subtracts of p on the low nd digits."""
+    from . import limbs as L
+
+    sig = jnp.asarray(ctx.sigA, jnp.uint32)[None, :]
+    ms = jnp.asarray(ctx.mA, jnp.uint32)[None, :]
+    ws = jnp.asarray(ctx.wA, jnp.uint32)[None, :]
+    sigma = (ra * sig) % ms                                   # [N, k]
+    t = jnp.sum(sigma * ws, axis=-1) + ALPHA_OFF
+    alpha = (t >> W_BITS).astype(jnp.uint32)                  # [N]
+
+    D, MD = _crt_digit_matrices(ctx)
+    s_lo = (sigma & 0x7F).astype(jnp.int32)
+    s_hi = (sigma >> 7).astype(jnp.int32)
+    d_lo = jnp.asarray(D & 0xFF, jnp.int32)
+    d_hi = jnp.asarray(D >> 8, jnp.int32)
+    # column sums < k * 2^7 * 2^8 = 2^21.9 — exact in i32/f32
+    p00 = (s_lo @ d_lo).astype(jnp.uint32)
+    p01 = (s_lo @ d_hi).astype(jnp.uint32)
+    p10 = (s_hi @ d_lo).astype(jnp.uint32)
+    p11 = (s_hi @ d_hi).astype(jnp.uint32)
+    # p00<2^22, p01<<8<2^30, p10<<7<2^29 sum safely in u32; the 2^15-scaled
+    # p11 term would reach 2^37, so it is folded in separately below.
+    cols = p00 + (p01 << 8) + (p10 << 7)                      # < 2^31
+    cols_hi = p11                                             # * 2^15
+    # fold the 2^15-scaled part: 2^15 = 2^16/2 -> shift digits by one
+    # column with a half-digit split
+    hi_lo = (cols_hi & 1) << 15                               # *2^15 in-col
+    hi_carry = cols_hi >> 1                                   # *2^16 -> next
+    cols = cols + hi_lo
+    cols = cols + jnp.pad(hi_carry, ((0, 0), (1, 0)))[:, :D.shape[1]]
+    # subtract alpha * M_A in digit space: add (2^16-1 - md)*alpha + alpha
+    # ... simpler exact route: alpha <= k, so subtract via wide borrowless
+    # complement per digit with one extra resolve:
+    mdv = jnp.asarray(MD, jnp.uint32)[None, :]
+    # cols currently holds sum sigma_i * (M_A/m_i) in (un-normalized)
+    # base-2^16 columns; the true value is that minus alpha*M_A.
+    # alpha*M_A digit columns (alpha < 2^7, md < 2^16 -> < 2^23):
+    sub_cols = alpha[:, None] * mdv
+    # borrowless subtract: add the digitwise complement + 1, i.e.
+    # cols + (2^16-1-sub_cols_digit)... sub_cols are UNNORMALIZED columns
+    # (< 2^23), so first normalize both sides, then do an exact bigint
+    # subtract on normalized digits.
+    nd_w = D.shape[1]
+    cols_n = L.normalize(cols, nd_w + 1)
+    sub_n = L.normalize(sub_cols, nd_w + 1)
+    diff, _borrow = L.sub_with_borrow(cols_n, sub_n)
+    # canonicalize on nd+1 digits (4p can spill one digit past p), then
+    # the final value < p fits nd digits
+    out = diff[:, :nd + 1]
+    pdw = np.zeros((nd + 1,), np.uint32)
+    pdw[:nd] = np.asarray(p_digits, np.uint32)
+    pd = jnp.broadcast_to(jnp.asarray(pdw)[None, :], out.shape)
+    for _ in range(3):
+        d, b = L.sub_with_borrow(out, pd)
+        out = jnp.where((b == 0)[:, None], d, out)
+    return out[:, :nd]
