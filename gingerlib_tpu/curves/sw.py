@@ -205,8 +205,10 @@ class SWCurveOps:
         (ops/pallas_ec.py) — same semantics, ~one HLO per field op less
         glue; towers (G2) and CPU keep the XLA form below.
         """
-        from ..ops import pallas_ec
+        from ..ops import pallas_ec, pallas_ec_rns
         from ..ops.pallas_mont import use_pallas
+        if use_pallas() and pallas_ec_rns.supports(self):
+            return pallas_ec_rns.batch_affine_add_rns(self, a_pt, b_pt)
         if use_pallas() and pallas_ec.supports(self):
             return pallas_ec.batch_affine_add_fused(self, a_pt, b_pt)
         from ..fields.towers import ext_batch_inverse_tree

@@ -740,9 +740,10 @@ def _sub_cc(x, y, n: int):
     return jnp.where(mask, d, 0), carry > 0
 
 
-def _bea_kernel(nd: int, max_iters: int, a_ref, mod_ref, out_ref):
-    x = a_ref[:]
-    p = jnp.broadcast_to(mod_ref[:], x.shape)
+def _bea_core(x, p, nd: int, max_iters: int):
+    """Binary extended Euclid on lane-major tiles: x, p [B, 128] plain
+    integer digits (digits on lanes) -> x^-1 mod p (0 -> 0).  Reusable
+    from other kernels (fused Poseidon root inversions)."""
     one = jnp.where(
         jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) == 0,
         jnp.uint32(1), jnp.uint32(0))
@@ -808,8 +809,13 @@ def _bea_kernel(nd: int, max_iters: int, a_ref, mod_ref, out_ref):
     state = (jnp.int32(0), x, p, one, zero)
     _, u, v, b, c = jax.lax.while_loop(cond, body, state)
     res = jnp.where(is_one(u)[:, None], b, c)
-    res = jnp.where(is_zero(x)[:, None], zero, res)
-    out_ref[:] = res
+    return jnp.where(is_zero(x)[:, None], zero, res)
+
+
+def _bea_kernel(nd: int, max_iters: int, a_ref, mod_ref, out_ref):
+    x = a_ref[:]
+    p = jnp.broadcast_to(mod_ref[:], x.shape)
+    out_ref[:] = _bea_core(x, p, nd, max_iters)
 
 
 @functools.lru_cache(maxsize=64)

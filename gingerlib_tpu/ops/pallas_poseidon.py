@@ -1,0 +1,563 @@
+"""Fused RNS Poseidon permutation (x^-1 S-box, T=3, rate 2).
+
+Replaces the per-op XLA path of primitives/poseidon.PoseidonHash.permute
+(reference: primitives/src/crh/poseidon/mod.rs:427-572) with one Pallas
+kernel per ROUND.  The whole round — round-constant add, zero detection,
+the shared-inversion S-box (the reference's single-inversion batch trick,
+mod.rs:161-311, here a halving-pair product tree across the tile's
+lanes), the root inversion (in-kernel binary extended Euclid), and the
+MDS mix — runs in the double-base RNS domain of ops/pallas_rns, where a
+Montgomery multiply is ~45 VPU tile ops + 8 MXU matmuls.
+
+Scale discipline (identical to ops/pallas_ec_rns): state lives at scale
+M_A (value = f*M_A mod p as an exact integer, bounded < c*p), which is
+closed under rns_mont.  Positional digits appear only
+  - at the permutation boundary (state in HBM stays positional
+    Montgomery canonical; one to_rns + rns_mont(c_norm) on entry, one
+    rns_mont(R) + CRT + cond-subs on exit), and
+  - at each round's tree root: an [128, 8] CRT -> canonical digits ->
+    in-kernel BEA (digit-major port of ops/pallas_mont._bea_core) ->
+    to_rns + rns_mont(M_A^3) re-entry.
+
+Zero handling (S-box maps 0 -> 0, mod.rs:447-466): a state value v is
+known bounded v < 10p (see bound budget below), so f == 0 iff
+v in {0, p, ..., 9p}; each test is one exact channel-row comparison
+(residues are canonical per channel and 10p << M_A*M_B).  Zero lanes
+enter the tree as "one" (value M_A mod p) and are masked to 0 after.
+
+Value-bound budget: entry < 3p; +RC < 4p; S-box out < 3p; MDS out =
+three rns_mont sums < 9p; +RC < 10p.  Largest product 10p * 10p =
+100 p^2, inside the RNS core's 2^10 p^2 guard.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .limbs import DIGIT_MASK, DIGIT_BITS
+from .pallas_mont import (
+    _carry_resolve_carryout_t,
+    _carry_resolve_t,
+    _row_mask,
+)
+from .pallas_ec import _cond_sub_t, _to_dm, _from_dm
+from .pallas_ec_rns import _crt_width
+from .rns import make_context
+from .pallas_rns import (
+    B_ROW,
+    LANES,
+    _chan_reduce,
+    _crt_mats,
+    _digit_split_mats,
+    _from_rns_k,
+    _kernel_consts,
+    _rns_mont_core,
+    _to_rns_k,
+)
+
+ZMAX = 10          # state value bound: v < ZMAX * p everywhere
+ROOT_W = 8         # tree stops here; BEA inverts all 8 lanes in parallel
+
+
+# ---------------------------------------------------------------------------
+# digit-major binary extended Euclid (transpose-free port of
+# pallas_mont._bea_core: digits on ROWS, batch on LANES)
+# ---------------------------------------------------------------------------
+
+def _shr1_dm(w):
+    nxt = jnp.pad(w[1:], ((0, 1), (0, 0)))
+    return ((w >> 1) | ((nxt & 1) << (DIGIT_BITS - 1))) & DIGIT_MASK
+
+
+def _sub_cc_dm(x, y, n: int):
+    """x - y over n digit rows via complement add; (diff, x>=y [1, W])."""
+    mask = _row_mask(n, x.shape)
+    comp = jnp.where(mask, jnp.uint32(DIGIT_MASK) - y, 0)
+    one0 = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) == 0,
+        jnp.uint32(1), jnp.uint32(0))
+    s = jnp.where(mask, x, 0) + comp + one0
+    d, carry = _carry_resolve_carryout_t(s, n)
+    return jnp.where(mask, d, 0), (carry > 0)[None, :]
+
+
+def _bea_core_dm(x, p, nd: int, max_iters: int):
+    """x, p [128, W] canonical digit rows -> x^-1 mod p (0 -> 0)."""
+    one = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) == 0,
+        jnp.uint32(1), jnp.uint32(0))
+
+    def is_one(w):
+        return jnp.sum(w ^ one, axis=0, keepdims=True) == 0
+
+    def is_zero(w):
+        return jnp.sum(w, axis=0, keepdims=True) == 0
+
+    def half_mod(w, odd):
+        t = jnp.where(odd, w + p, w)
+        t = _carry_resolve_t(t, nd + 1)
+        return _shr1_dm(t)
+
+    def body(state):
+        it, u, v, b, c = state
+        done = is_one(u) | is_one(v) | is_zero(u)
+        u_odd = (u[0:1, :] & 1) == 1
+        v_odd = (v[0:1, :] & 1) == 1
+        duv, u_ge_v = _sub_cc_dm(u, v, nd)
+        dvu, _ = _sub_cc_dm(v, u, nd)
+        dbc, b_ge_c = _sub_cc_dm(b, c, nd)
+        dcb, c_ge_b = _sub_cc_dm(c, b, nd)
+        nd_mask = _row_mask(nd, u.shape)
+        bc = jnp.where(b_ge_c, dbc,
+                       jnp.where(nd_mask, _carry_resolve_t(dbc + p, nd + 1),
+                                 0))
+        cb = jnp.where(c_ge_b, dcb,
+                       jnp.where(nd_mask, _carry_resolve_t(dcb + p, nd + 1),
+                                 0))
+
+        case_u = ~u_odd
+        case_v = u_odd & ~v_odd
+        case_s = u_odd & v_odd & u_ge_v
+        case_t = u_odd & v_odd & ~u_ge_v
+
+        u2 = jnp.where(case_u, _shr1_dm(u), jnp.where(case_s, duv, u))
+        v2 = jnp.where(case_v, _shr1_dm(v), jnp.where(case_t, dvu, v))
+        b2 = jnp.where(case_u, half_mod(b, (b[0:1, :] & 1) == 1),
+                       jnp.where(case_s, bc, b))
+        c2 = jnp.where(case_v, half_mod(c, (c[0:1, :] & 1) == 1),
+                       jnp.where(case_t, cb, c))
+
+        return (it + 1,
+                jnp.where(done, u, u2), jnp.where(done, v, v2),
+                jnp.where(done, b, b2), jnp.where(done, c, c2))
+
+    def cond(state):
+        it, u, v, b, c = state
+        running = ~(is_one(u) | is_one(v) | is_zero(u))
+        return (it < max_iters) & jnp.any(running)
+
+    zero = jnp.zeros_like(x)
+    state = (jnp.int32(0), x, p, one, zero)
+    _, u, v, b, c = jax.lax.while_loop(cond, body, state)
+    res = jnp.where(is_one(u), b, c)
+    return jnp.where(is_zero(x), zero, res)
+
+
+# ---------------------------------------------------------------------------
+# host constant tables
+# ---------------------------------------------------------------------------
+
+def _rns_col(ctx, val: int):
+    row = np.zeros((LANES,), np.uint32)
+    for i, m in enumerate(ctx.mA):
+        row[i] = val % m
+    for i, m in enumerate(ctx.mB):
+        row[B_ROW + i] = val % m
+    return row[:, None]
+
+
+@functools.lru_cache(maxsize=4)
+def _pos_consts(p: int, nd: int, t: int, rc_key: tuple, mds_key: tuple):
+    """rc_key: flat tuple of PLAIN-int round constants (n_rounds * t);
+    mds_key: flat tuple of PLAIN-int MDS entries (t*t)."""
+    ctx, rns_cols, ext_mats = _kernel_consts(p)
+    t_lo, t_hi = _digit_split_mats(ctx, nd)
+    d_lo, d_hi, md_col = _crt_mats(ctx, _crt_width(ctx))
+    R = (1 << (16 * nd)) % p
+    MA = ctx.MA
+
+    c_norm = _rns_col(ctx, MA * MA % p * pow(R, -1, p) % p)
+    c_fix = _rns_col(ctx, pow(MA, 3, p))
+    k_out = _rns_col(ctx, R)
+    one_tree = _rns_col(ctx, MA % p)
+
+    zp = np.zeros((LANES, 16), np.uint32)
+    for kk in range(ZMAX):
+        zp[:, kk:kk + 1] = _rns_col(ctx, kk * p)
+
+    mds = np.zeros((LANES, 16), np.uint32)
+    for i, v in enumerate(mds_key):
+        mds[:, i:i + 1] = _rns_col(ctx, v * MA % p)
+
+    n_rounds = len(rc_key) // t
+    rc = np.zeros((n_rounds, LANES, 8), np.uint32)
+    for r in range(n_rounds):
+        for j in range(t):
+            rc[r, :, j:j + 1] = _rns_col(ctx, rc_key[r * t + j] * MA % p)
+
+    from .limbs import to_digits
+    pdig = np.zeros((LANES,), np.uint32)
+    pdig[:nd] = to_digits(p, nd)
+    return (ctx, rns_cols, ext_mats, (t_lo, t_hi), (d_lo, d_hi, md_col),
+            (c_norm, c_fix, k_out, one_tree, zp, mds, rc, pdig[:, None]))
+
+
+# ---------------------------------------------------------------------------
+# in-kernel round pieces
+# ---------------------------------------------------------------------------
+
+def _mk_mont(cols, mats, k):
+    def mont(a, b):
+        sh = a.shape
+        args = [jnp.broadcast_to(c, sh) for c in cols]
+        if b.shape != sh:
+            b = jnp.broadcast_to(b, sh)
+        return _rns_mont_core(a, b, *args, *mats, k)
+    return mont
+
+
+def _is_field_zero(v, zp):
+    """v [128, W] at any scale, value < ZMAX*p -> [1, W] bool."""
+    acc = None
+    for kk in range(ZMAX):
+        col = jnp.broadcast_to(zp[:, kk:kk + 1], v.shape)
+        eq = jnp.sum(v ^ col, axis=0, keepdims=True) == 0
+        acc = eq if acc is None else (acc | eq)
+    return acc
+
+
+def _tree_sbox(xs, mont, conv, one_col, zp):
+    """xs: list of [128, T] state elements entering the S-box.  Returns
+    their inverses at scale M_A (zero lanes -> 0) via ONE width-8 BEA."""
+    x = xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=1)
+    zero = _is_field_zero(x, zp)
+    xhat = jnp.where(zero, jnp.broadcast_to(one_col, x.shape), x)
+    w = x.shape[1]
+    W = max(ROOT_W, 1 << (w - 1).bit_length())
+    if W != w:
+        xhat = jnp.concatenate(
+            [xhat, jnp.broadcast_to(one_col, (LANES, W - w))], axis=1)
+
+    levels = [xhat]
+    cur = xhat
+    while cur.shape[1] > ROOT_W:
+        half = cur.shape[1] // 2
+        cur = mont(cur[:, :half], cur[:, half:])
+        levels.append(cur)
+
+    inv = conv(levels[-1])
+    for lvl in range(len(levels) - 2, -1, -1):
+        child = levels[lvl]
+        half = child.shape[1] // 2
+        inv = jnp.concatenate([mont(inv, child[:, half:]),
+                               mont(inv, child[:, :half])], axis=1)
+    inv = inv[:, :w]
+    inv = jnp.where(zero, 0, inv)
+    return [inv[:, i * xs[0].shape[1]:(i + 1) * xs[0].shape[1]]
+            for i in range(len(xs))]
+
+
+def _round_kernel(k, nd, wdt, t, mode, max_iters,
+                  s_refs, rc_ref, col_refs, mat_refs, tlo_ref, thi_ref,
+                  dlo_ref, dhi_ref, md_ref, cnorm_ref, cfix_ref, kout_ref,
+                  one_ref, zp_ref, mds_ref, pd_ref, out_refs):
+    """One Poseidon round on a [128, T] tile.
+
+    mode: 'full' = S-box on all t elements + MDS; 'partial' = S-box on
+    element 0 + MDS; 'last' = S-box on all, NO MDS."""
+    cols = [r[:] for r in col_refs]
+    mats = [r[:] for r in mat_refs]
+    mont = _mk_mont(cols, mats, k)
+    s = [r[:] for r in s_refs]
+    shape = s[0].shape
+    m_b = jnp.broadcast_to(cols[0], shape)
+    mu_b = jnp.broadcast_to(cols[1], shape)
+    one_col = one_ref[:]
+    zp = zp_ref[:]
+    pd = pd_ref[:]
+
+    # round-constant add (all t elements)
+    for i in range(t):
+        rc_i = jnp.broadcast_to(rc_ref[:, i:i + 1], shape)
+        s[i] = _chan_reduce(s[i] + rc_i, m_b, mu_b)
+
+    # root inversion: CRT -> canonical digits -> BEA -> re-enter RNS
+    def conv_root(root):
+        rs = root.shape
+        m_r = jnp.broadcast_to(cols[0], rs)
+        mu_r = jnp.broadcast_to(cols[1], rs)
+        dig = _from_rns_k(root, jnp.broadcast_to(cols[2], rs),
+                          jnp.broadcast_to(cols[3], rs), m_r, mu_r,
+                          dlo_ref[:], dhi_ref[:], md_ref[:], k, nd, wdt)
+        dig = _cond_sub_t(jnp.where(_row_mask(nd + 1, rs), dig, 0),
+                          jnp.broadcast_to(pd, rs), nd)
+        dig = _cond_sub_t(dig, jnp.broadcast_to(pd, rs), nd)
+        invd = _bea_core_dm(dig, jnp.broadcast_to(pd, rs), nd, max_iters)
+        r = _to_rns_k(invd, tlo_ref[:], thi_ref[:], m_r, mu_r)
+        return mont(r, cfix_ref[:])
+
+    if mode == 'partial':
+        sb = _tree_sbox([s[0]], mont, conv_root, one_col, zp)
+        s = [sb[0]] + s[1:]
+    else:
+        s = _tree_sbox(s, mont, conv_root, one_col, zp)
+
+    if mode != 'last':
+        mixed = []
+        for i in range(t):
+            acc = None
+            for j in range(t):
+                prod = mont(s[j], mds_ref[:, (i * t + j):(i * t + j) + 1])
+                acc = prod if acc is None else _chan_reduce(acc + prod,
+                                                            m_b, mu_b)
+            mixed.append(acc)
+        s = mixed
+
+    for i in range(t):
+        out_refs[i][:] = s[i]
+
+
+def _entry_kernel(k, t, s_refs, col_refs, mat_refs, tlo_ref, thi_ref,
+                  cnorm_ref, out_refs):
+    cols = [r[:] for r in col_refs]
+    mats = [r[:] for r in mat_refs]
+    mont = _mk_mont(cols, mats, k)
+    shape = s_refs[0].shape
+    m_b = jnp.broadcast_to(cols[0], shape)
+    mu_b = jnp.broadcast_to(cols[1], shape)
+    for i in range(t):
+        r = _to_rns_k(s_refs[i][:], tlo_ref[:], thi_ref[:], m_b, mu_b)
+        out_refs[i][:] = mont(r, cnorm_ref[:])
+
+
+def _exit_kernel(k, nd, wdt, t, s_refs, col_refs, mat_refs, dlo_ref,
+                 dhi_ref, md_ref, kout_ref, pd_ref, out_refs):
+    cols = [r[:] for r in col_refs]
+    mats = [r[:] for r in mat_refs]
+    mont = _mk_mont(cols, mats, k)
+    shape = s_refs[0].shape
+    m_b = jnp.broadcast_to(cols[0], shape)
+    mu_b = jnp.broadcast_to(cols[1], shape)
+    pd = jnp.broadcast_to(pd_ref[:], shape)
+    for i in range(t):
+        vr = mont(s_refs[i][:], kout_ref[:])
+        dig = _from_rns_k(vr, jnp.broadcast_to(cols[2], shape),
+                          jnp.broadcast_to(cols[3], shape), m_b, mu_b,
+                          dlo_ref[:], dhi_ref[:], md_ref[:], k, nd, wdt)
+        dig = _cond_sub_t(jnp.where(_row_mask(nd + 1, shape), dig, 0),
+                          pd, nd)
+        out_refs[i][:] = _cond_sub_t(dig, pd, nd)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call builders
+# ---------------------------------------------------------------------------
+
+def _specs(tile):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    data = pl.BlockSpec((LANES, tile), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+    colc = pl.BlockSpec((LANES, 1), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)
+    col8 = pl.BlockSpec((LANES, 8), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)
+    col16 = pl.BlockSpec((LANES, 16), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    mat = pl.BlockSpec((LANES, LANES), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM)
+    return data, colc, col8, col16, mat
+
+
+@functools.lru_cache(maxsize=32)
+def _round_call(k: int, nd: int, wdt: int, t: int, mode: str,
+                n_cols: int, tile: int, interpret: bool):
+    from jax.experimental import pallas as pl
+    data, colc, col8, col16, mat = _specs(tile)
+    max_iters = 4 * DIGIT_BITS * nd + 64
+
+    def kernel(*refs):
+        s_refs = refs[:t]
+        rc_ref = refs[t]
+        col_refs = refs[t + 1:t + 10]
+        mat_refs = refs[t + 10:t + 14]
+        (tlo, thi, dlo, dhi, md, cnorm, cfix, kout, one, zp, mds,
+         pd) = refs[t + 14:t + 26]
+        out_refs = refs[t + 26:]
+        _round_kernel(k, nd, wdt, t, mode, max_iters, s_refs, rc_ref,
+                      col_refs, mat_refs, tlo, thi, dlo, dhi, md, cnorm,
+                      cfix, kout, one, zp, mds, pd, out_refs)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_cols // tile,),
+        in_specs=[data] * t + [col8] + [colc] * 9 + [mat] * 4 +
+                 [mat, mat, mat, mat, colc, colc, colc, colc, colc,
+                  col16, col16, colc],
+        out_specs=[data] * t,
+        out_shape=[jax.ShapeDtypeStruct((LANES, n_cols), jnp.uint32)] * t,
+        interpret=interpret,
+    )
+
+
+@functools.lru_cache(maxsize=8)
+def _entry_call(k: int, t: int, n_cols: int, tile: int, interpret: bool):
+    from jax.experimental import pallas as pl
+    data, colc, col8, col16, mat = _specs(tile)
+
+    def kernel(*refs):
+        s_refs = refs[:t]
+        col_refs = refs[t:t + 9]
+        mat_refs = refs[t + 9:t + 13]
+        tlo, thi, cnorm = refs[t + 13:t + 16]
+        out_refs = refs[t + 16:]
+        _entry_kernel(k, t, s_refs, col_refs, mat_refs, tlo, thi, cnorm,
+                      out_refs)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_cols // tile,),
+        in_specs=[data] * t + [colc] * 9 + [mat] * 4 + [mat, mat, colc],
+        out_specs=[data] * t,
+        out_shape=[jax.ShapeDtypeStruct((LANES, n_cols), jnp.uint32)] * t,
+        interpret=interpret,
+    )
+
+
+@functools.lru_cache(maxsize=8)
+def _exit_call(k: int, nd: int, wdt: int, t: int, n_cols: int, tile: int,
+               interpret: bool):
+    from jax.experimental import pallas as pl
+    data, colc, col8, col16, mat = _specs(tile)
+
+    def kernel(*refs):
+        s_refs = refs[:t]
+        col_refs = refs[t:t + 9]
+        mat_refs = refs[t + 9:t + 13]
+        dlo, dhi, md, kout, pd = refs[t + 13:t + 18]
+        out_refs = refs[t + 18:]
+        _exit_kernel(k, nd, wdt, t, s_refs, col_refs, mat_refs, dlo, dhi,
+                     md, kout, pd, out_refs)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_cols // tile,),
+        in_specs=[data] * t + [colc] * 9 + [mat] * 4 +
+                 [mat, mat, colc, colc, colc],
+        out_specs=[data] * t,
+        out_shape=[jax.ShapeDtypeStruct((LANES, n_cols), jnp.uint32)] * t,
+        interpret=interpret,
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+def supports(pos_params) -> bool:
+    v = os.environ.get("GINGERLIB_FUSED_POSEIDON", "auto").lower()
+    if v in ("0", "false", "no", "off"):
+        return False
+    ctx = make_context(pos_params.field.modulus)
+    return ctx.k <= B_ROW
+
+
+def _plain_ints(field, digits_arr):
+    """Montgomery digit array [..., nd] -> flat tuple of PLAIN ints."""
+    from ..fields import fp as fpmod
+    arr = np.asarray(digits_arr).reshape(-1, field.n_digits)
+    Rinv = pow((1 << (16 * field.n_digits)) % field.modulus, -1,
+               field.modulus)
+    out = []
+    for row in arr:
+        v = 0
+        for d in reversed(row):
+            v = (v << 16) | int(d)
+        out.append(v * Rinv % field.modulus)
+    return tuple(out)
+
+
+def _consts_for(pos_params):
+    cached = getattr(pos_params, "_fused_consts", None)
+    if cached is not None:
+        return cached
+    field = pos_params.field
+    t = pos_params.t
+    rc_all = np.concatenate([
+        np.asarray(pos_params.rc_full1).reshape(-1, t, field.n_digits),
+        np.asarray(pos_params.rc_partial).reshape(-1, t, field.n_digits),
+        np.asarray(pos_params.rc_full2).reshape(-1, t, field.n_digits),
+        np.asarray(pos_params.rc_last).reshape(-1, t, field.n_digits),
+    ], axis=0)
+    rc_key = _plain_ints(field, rc_all)
+    mds_key = _plain_ints(field, pos_params.mds)
+    consts = _pos_consts(field.modulus, field.n_digits, t, rc_key,
+                         mds_key)
+    pos_params._fused_consts = consts
+    return consts
+
+
+def permute_fused(pos_params, state, interpret: bool | None = None,
+                  tile: int | None = None):
+    """Drop-in for PoseidonHash.permute: state [B, t, nd] positional
+    Montgomery canonical -> permuted state, same form."""
+    field = pos_params.field
+    t = pos_params.t
+    nd = field.n_digits
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if tile is None:
+        tile = int(os.environ.get("GINGERLIB_POSEIDON_TILE", "128"))
+
+    consts = _consts_for(pos_params)
+    (ctx, rns_cols, ext_mats, tmats, crt, pc) = consts
+    (c_norm, c_fix, k_out, one_tree, zp, mds, rc, pd) = pc
+    wdt = _crt_width(ctx)
+
+    B = state.shape[0]
+    n_pad = max(tile, -(-B // tile) * tile)
+    s_dm = [_to_dm(state[:, i, :].reshape(B, nd), n_pad) for i in range(t)]
+
+    cols = [jnp.asarray(c) for c in rns_cols]
+    mats = [jnp.asarray(m, jnp.bfloat16) for m in ext_mats]
+    t_lo, t_hi = (jnp.asarray(v, jnp.bfloat16) for v in tmats)
+    d_lo = jnp.asarray(crt[0], jnp.bfloat16)
+    d_hi = jnp.asarray(crt[1], jnp.bfloat16)
+    md_col = jnp.asarray(crt[2])
+    c_norm_j = jnp.asarray(c_norm)
+    c_fix_j = jnp.asarray(c_fix)
+    k_out_j = jnp.asarray(k_out)
+    one_j = jnp.asarray(one_tree)
+    zp_j = jnp.asarray(zp)
+    mds_j = jnp.asarray(mds)
+    pd_j = jnp.asarray(pd)
+    rc_j = jnp.asarray(rc)
+
+    s_dm = list(_entry_call(ctx.k, t, n_pad, tile, interpret)(
+        *s_dm, *cols, *mats, t_lo, t_hi, c_norm_j))
+
+    def round_args(ss, rc_r):
+        return (*ss, rc_r, *cols, *mats, t_lo, t_hi, d_lo, d_hi, md_col,
+                c_norm_j, c_fix_j, k_out_j, one_j, zp_j, mds_j, pd_j)
+
+    r_f, r_p = pos_params.r_f, pos_params.r_p
+    full_call = _round_call(ctx.k, nd, wdt, t, 'full', n_pad, tile,
+                            interpret)
+    last_call = _round_call(ctx.k, nd, wdt, t, 'last', n_pad, tile,
+                            interpret)
+    partial_call = _round_call(ctx.k, nd, wdt, t, 'partial', n_pad, tile,
+                               interpret)
+
+    for r in range(r_f):
+        s_dm = list(full_call(*round_args(s_dm, rc_j[r])))
+
+    def partial_body(ss, rc_r):
+        return tuple(partial_call(*round_args(ss, rc_r))), None
+
+    s_dm, _ = jax.lax.scan(partial_body, tuple(s_dm),
+                           rc_j[r_f:r_f + r_p])
+    s_dm = list(s_dm)
+
+    for r in range(r_f + r_p, r_f + r_p + r_f - 1):
+        s_dm = list(full_call(*round_args(s_dm, rc_j[r])))
+    s_dm = list(last_call(*round_args(s_dm, rc_j[-1])))
+
+    s_dm = list(_exit_call(ctx.k, nd, wdt, t, n_pad, tile, interpret)(
+        *s_dm, *cols, *mats, d_lo, d_hi, md_col, k_out_j, pd_j))
+
+    return jnp.stack([_from_dm(s, B, nd) for s in s_dm], axis=1)

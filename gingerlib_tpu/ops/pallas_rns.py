@@ -12,9 +12,9 @@ f32-exact).  Per multiply that is ~40 VPU tile ops + 8 matmuls versus
 ~300 VPU ops for the positional 16-bit-digit kernel
 (ops/pallas_mont.py) — the MXU finally carries the O(k^2) work.
 
-Barrett channel reduction: v < 2^28, m in (0.75, 1)*2^14,
+Barrett channel reduction: v < 2^29.5, m in (0.75, 1)*2^14,
 mu = floor(2^28/m):  q = (v >> 14) * mu >> 14 underestimates floor(v/m)
-by < 3, so r = v - q m < 4m fits u32 and three conditional subtracts
+by < 4.2, so r = v - q m < 6m fits u32 and four conditional subtracts
 canonicalize.
 """
 
@@ -26,6 +26,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .limbs import DIGIT_MASK
 from .rns import CH_BITS, W_BITS, ALPHA_OFF, RNSContext, make_context
 
 LANES = 128
@@ -86,10 +87,15 @@ def _kernel_consts(p: int):
 # ---------------------------------------------------------------------------
 
 def _chan_reduce(v, m, mu):
-    """v [128, N] u32 < 2^28 -> v mod m (per-row m)."""
+    """v [128, N] u32 < 2^29.5 -> v mod m (per-row m in (0.75,1)*2^14).
+
+    q = (v >> 14) * mu >> 14 with mu = floor(2^28/m) satisfies
+    Q-4 <= q <= Q (error < v/2^28 + 2^14/m + 1 < 4.2), so four
+    conditional subtracts canonicalize; q*m and the shifts stay in u32
+    for v < 2^29.5 (hi*mu < 2^15.5 * 2^14.5 = 2^30)."""
     q = ((v >> CH_BITS) * mu) >> (RED_BITS - CH_BITS)
     r = v - q * m
-    for _ in range(3):
+    for _ in range(4):
         ge = r >= m
         r = jnp.where(ge, r - m, r)
     return r
@@ -227,3 +233,116 @@ def mont_mul_rns_pallas(p: int, x, y, interpret: bool | None = None,
             [jnp.asarray(m, jnp.bfloat16) for m in mats])
     out = _rns_mont_call(ctx.k, n_pad, tile, interpret)(x, y, *args)
     return out[:, :n]
+
+
+# ---------------------------------------------------------------------------
+# in-kernel positional <-> RNS conversions (digit rows <-> channel rows)
+# ---------------------------------------------------------------------------
+#
+# Both layouts are [128 rows, N lanes] tiles; conversion is a contraction
+# over rows with a CONSTANT matrix — the same bf16-split MXU pattern as
+# the base extensions.  to-RNS: residues of the positional value (any
+# < 2^(16 nd)); from-RNS: CRT digits of the base-A value (< 16p),
+# canonicalized by a binary descent of conditional subtracts.
+
+def _digit_split_mats(ctx: RNSContext, nd: int):
+    """to-RNS matrices: T[dst_row, src_digit_row] = |2^(16 j)|_{m}, split
+    8/8 on the digit side handled in-kernel, 7/7 on the matrix side here."""
+    ms = list(ctx.mA) + [0] * (B_ROW - ctx.k) + list(ctx.mB)
+    full = np.zeros((LANES, LANES), np.uint32)
+    for r, m in enumerate(ms[:B_ROW + ctx.k]):
+        if m == 0:
+            continue
+        acc = 1 % m
+        for j in range(nd):
+            full[r, j] = acc
+            acc = acc * ((1 << 16) % m) % m
+    lo = (full & 0x7F).astype(np.float32)
+    hi = (full >> 7).astype(np.float32)
+    return lo, hi
+
+
+def _crt_mats(ctx: RNSContext, nd: int):
+    """from-RNS matrices: D[digit_row, src_channel_row] = digit of
+    M_A/m_i (8/8 split on the matrix side), plus M_A digit column and the
+    base-A sigma/weight columns (on channel rows)."""
+    from .limbs import to_digits
+    assert 16 * nd >= ctx.MA.bit_length() + 7, \
+        "positional digit count too narrow for CRT accumulation"
+    D = np.zeros((LANES, LANES), np.uint32)
+    for i, m in enumerate(ctx.mA):
+        dig = to_digits(ctx.MA // m, nd)
+        D[:nd, i] = dig
+    lo = (D & 0xFF).astype(np.float32)
+    hi = (D >> 8).astype(np.float32)
+    md = np.zeros((LANES,), np.uint32)
+    md[:nd] = to_digits(ctx.MA, nd)
+    return lo, hi, md[:, None]
+
+
+def _to_rns_k(digits, t_lo, t_hi, m, mu):
+    """positional digit rows [128, N] (16-bit digits, rows >= nd zero) ->
+    packed RNS rows (both bases).  4 bf16 matmuls, f32-exact partial sums
+    (< nd * 255 * 127 < 2^21)."""
+    d32 = digits.astype(jnp.int32)
+    d_lo = (d32 & 0xFF).astype(jnp.bfloat16)
+    d_hi = (d32 >> 8).astype(jnp.bfloat16)
+    p00 = jnp.dot(t_lo, d_lo, preferred_element_type=jnp.float32)
+    p01 = jnp.dot(t_hi, d_lo, preferred_element_type=jnp.float32)
+    p10 = jnp.dot(t_lo, d_hi, preferred_element_type=jnp.float32)
+    p11 = jnp.dot(t_hi, d_hi, preferred_element_type=jnp.float32)
+    r00 = _chan_reduce(p00.astype(jnp.int32).astype(jnp.uint32), m, mu)
+    r01 = _chan_reduce(p01.astype(jnp.int32).astype(jnp.uint32), m, mu)
+    r10 = _chan_reduce(p10.astype(jnp.int32).astype(jnp.uint32), m, mu)
+    r11 = _chan_reduce(p11.astype(jnp.int32).astype(jnp.uint32), m, mu)
+    acc = r00 + (r01 << 7) + (r10 << 8) + (r11 << 15)   # < 2^30
+    return _chan_reduce(acc, m, mu)
+
+
+def _alpha_rows_k(sigma, w, k: int, offset: int):
+    masked = jnp.where(_row_sel(0, k, sigma.shape), sigma * w, 0)
+    t = jnp.sum(masked, axis=0, keepdims=True)
+    return (t + jnp.uint32(offset)) >> W_BITS
+
+
+def _from_rns_k(x, sig, w, m, mu, d_lo, d_hi, md_col, k: int, nd: int,
+                width: int):
+    """packed RNS rows -> positional digit rows of the base-A value
+    (UNREDUCED, < 16p assumed by callers' bound budget; returns digits
+    after carry resolve and a 8p/4p/2p/1p conditional-subtract descent).
+
+    CRT: digits = sum_i sigma_i * digits(M_A/m_i) - alpha * digits(M_A);
+    the matmul contracts channel rows into digit rows with 7-bit sigma
+    splits x 8-bit digit splits (sums < k * 2^15 < 2^21, f32-exact)."""
+    from .pallas_mont import _carry_resolve_t
+    a_rows = _row_sel(0, k, x.shape)
+    sigma = _chan_mulred(jnp.where(a_rows, x, 0), sig, m, mu)
+    alpha = _alpha_rows_k(sigma, w, k, ALPHA_OFF)          # [1, N] exact
+    s32 = sigma.astype(jnp.int32)
+    s_lo = (s32 & 0x7F).astype(jnp.bfloat16)
+    s_hi = (s32 >> 7).astype(jnp.bfloat16)
+    p00 = jnp.dot(d_lo, s_lo, preferred_element_type=jnp.float32)
+    p01 = jnp.dot(d_hi, s_lo, preferred_element_type=jnp.float32)
+    p10 = jnp.dot(d_lo, s_hi, preferred_element_type=jnp.float32)
+    p11 = jnp.dot(d_hi, s_hi, preferred_element_type=jnp.float32)
+    c00 = p00.astype(jnp.int32).astype(jnp.uint32)
+    c01 = p01.astype(jnp.int32).astype(jnp.uint32)       # * 2^8
+    c10 = p10.astype(jnp.int32).astype(jnp.uint32)       # * 2^7
+    c11 = p11.astype(jnp.int32).astype(jnp.uint32)       # * 2^15
+    cols = c00 + (c01 << 8) + (c10 << 7)                 # < 2^31
+    hi_lo = (c11 & 1) << 15
+    hi_carry = jnp.pad(c11 >> 1, ((1, 0), (0, 0)))[:LANES]
+    cols = cols + hi_lo + hi_carry
+    cols = _carry_resolve_t(cols, width)
+    # subtract alpha * M_A: alpha*md columns, then a borrowless
+    # complement subtract over `width` digit rows (cols >= sub always,
+    # so the 2^(16*width) wrap bit at row `width` is exactly 1)
+    sub_cols = jnp.broadcast_to(alpha, cols.shape) * \
+        jnp.broadcast_to(md_col, cols.shape)             # < 2^7 * 2^16
+    sub_cols = _carry_resolve_t(sub_cols, width)
+    rows = jax.lax.broadcasted_iota(jnp.int32, cols.shape, 0)
+    comp = jnp.where(rows < width, jnp.uint32(DIGIT_MASK) - sub_cols, 0)
+    one0 = jnp.where(rows == 0, jnp.uint32(1), jnp.uint32(0))
+    diff = _carry_resolve_t(cols + comp + one0, width + 1)
+    diff = jnp.where(rows == width, diff - 1, diff)
+    return jnp.where(rows < width, diff, 0)

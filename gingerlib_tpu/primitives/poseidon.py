@@ -98,7 +98,14 @@ class PoseidonHash:
         return acc
 
     def permute(self, state):
-        """state [B, t, nd] -> permuted state."""
+        """state [B, t, nd] -> permuted state.
+
+        On TPU the whole permutation runs as fused RNS Pallas round
+        kernels (ops/pallas_poseidon.py) — same bit-exact results."""
+        from ..ops import pallas_poseidon
+        from ..ops.pallas_mont import use_pallas
+        if use_pallas() and pallas_poseidon.supports(self.p):
+            return pallas_poseidon.permute_fused(self.p, state)
         P = self.p
 
         def full_round(state, rc):
