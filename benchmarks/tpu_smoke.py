@@ -168,6 +168,101 @@ def check_rns():
           f"({dt*1e3:.2f} ms, k={ctx.k} channels x 2 bases)")
 
 
+def check_ec(log2n=14):
+    """batch_affine_add ladder A/B: XLA vs fused positional vs RNS-hybrid
+    (Mosaic acceptance + throughput)."""
+    import os
+    from gingerlib_tpu.curves import instances as CI
+    from gingerlib_tpu.ops import limbs
+
+    g1 = CI.mnt4753_g1()
+    fr = g1.scalar_field
+    n = 1 << log2n
+    rng = np.random.RandomState(5)
+    ks = [int(k) for k in rng.randint(1, 1 << 20, size=512)]
+    kd = jnp.asarray(limbs.to_digits_batch(ks, fr.n_digits))
+    gx, gy = g1.generator_affine
+    shape = (512,) + gx.shape[-2:]
+    pt = (jnp.broadcast_to(gx, shape), jnp.broadcast_to(gy, shape),
+          jnp.broadcast_to(jnp.asarray(g1.F.one()), shape))
+    xs, ys = (fetch(v) for v in g1.to_affine(
+        jax.jit(lambda p, k: g1.mul_scalar_digits(p, k))(pt, kd)))
+    reps_x = (n // 512) + 1
+    xs = jnp.asarray(np.tile(xs, (reps_x, 1, 1))[:n])
+    ys = jnp.asarray(np.tile(ys, (reps_x, 1, 1))[:n])
+    half = n // 2
+    a = ((xs[:half], ys[:half]), jnp.zeros((half,), bool))
+    b = ((xs[half:], ys[half:]), jnp.zeros((half,), bool))
+
+    outs = {}
+    for name, env in [("xla", {"GINGERLIB_FUSED_EC": "0",
+                               "GINGERLIB_EC_RNS": "0"}),
+                      ("fused", {"GINGERLIB_FUSED_EC": "1",
+                                 "GINGERLIB_EC_RNS": "0"}),
+                      ("rns", {"GINGERLIB_FUSED_EC": "1",
+                               "GINGERLIB_EC_RNS": "1"})]:
+        os.environ.update(env)
+        try:
+            run = jax.jit(lambda a, b: g1.batch_affine_add(a, b))
+            out = run(a, b)
+            ox = fetch(out[0][0])
+            t0 = time.perf_counter()
+            reps = 5
+            for _ in range(reps):
+                out = run(a, b)
+            fetch(out[0][0])
+            dt = (time.perf_counter() - t0) / reps
+            outs[name] = ox
+            print(f"ec_add[{name}] batch={half} {half/dt/1e6:.2f} Madd/s "
+                  f"({dt*1e3:.2f} ms)")
+        except Exception as e:
+            print(f"ec_add[{name}] FAILED: {type(e).__name__}: {e}")
+    for name, ox in outs.items():
+        if name != "xla" and "xla" in outs:
+            print(f"ec_add[{name}] matches xla: "
+                  f"{np.array_equal(ox, outs['xla'])}")
+
+
+def check_poseidon(log2n=12):
+    """fused RNS Poseidon permutation vs the XLA path."""
+    import os
+    from gingerlib_tpu.fields import fp as fpmod
+    from gingerlib_tpu.primitives.poseidon import (PoseidonHash,
+                                                   PoseidonParams)
+
+    P = PoseidonParams.mnt4753()
+    h = PoseidonHash(P)
+    F = P.field
+    n = 1 << log2n
+    rng = np.random.RandomState(6)
+    base = np.stack([
+        np.stack([fpmod.fp_from_int(
+            F, int.from_bytes(rng.bytes(94), "little") % F.modulus)
+            for _ in range(3)]) for _ in range(256)])
+    state = jnp.asarray(np.tile(base, ((n // 256) + 1, 1, 1))[:n])
+
+    outs = {}
+    for name, env in [("xla", "0"), ("fused", "1")]:
+        os.environ["GINGERLIB_FUSED_POSEIDON"] = env
+        try:
+            run = jax.jit(h.permute)
+            out = fetch(run(state))
+            t0 = time.perf_counter()
+            reps = 3
+            for _ in range(reps):
+                o = run(state)
+            fetch(o)
+            dt = (time.perf_counter() - t0) / reps
+            outs[name] = out
+            print(f"poseidon[{name}] batch={n} {n/dt:.0f} perms/s "
+                  f"({dt*1e3:.1f} ms)")
+        except Exception as e:
+            print(f"poseidon[{name}] FAILED: {type(e).__name__}: {e}")
+    if len(outs) == 2:
+        print(f"poseidon[fused] matches xla: "
+              f"{np.array_equal(outs['fused'], outs['xla'])}")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     print("backend:", jax.default_backend())
@@ -177,6 +272,10 @@ if __name__ == "__main__":
         check_rns()
     if which in ("inv", "all"):
         check_inv()
+    if which in ("ec", "all"):
+        check_ec()
+    if which in ("poseidon", "all"):
+        check_poseidon()
     if which in ("msm", "all"):
         log2n = int(sys.argv[2]) if len(sys.argv) > 2 else 12
         check_msm(log2n)

@@ -54,3 +54,16 @@ def timer(msg: str):
         yield t
     finally:
         end_timer(t)
+
+
+@contextmanager
+def device_trace(log_dir: str = "/tmp/gingerlib_trace"):
+    """Capture a jax.profiler device trace (TensorBoard format) around a
+    block — the TPU-native upgrade of the reference's wall-clock-only
+    tracing.  View with `tensorboard --logdir <log_dir>`."""
+    import jax
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
