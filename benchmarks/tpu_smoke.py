@@ -3,8 +3,11 @@
 Run on the real chip (JAX_PLATFORMS=axon, the sandbox default):
   python benchmarks/tpu_smoke.py [mont|inv|msm|all]
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax

@@ -86,8 +86,9 @@ def _modsub_t(a, b, mod, nd: int):
 
 def _is_zero_cols(v):
     """[R, L] digit tile -> [1, L] bool (all digit rows zero).  Digit rows
-    are < 2^16 and R <= 128, so the column sum < 2^23 cannot overflow."""
-    return jnp.sum(v, axis=0, keepdims=True) == 0
+    are < 2^16 and R <= 128, so the column sum < 2^23 cannot overflow.
+    int32 because Mosaic has no unsigned reductions."""
+    return jnp.sum(v.astype(jnp.int32), axis=0, keepdims=True) == 0
 
 
 # ---------------------------------------------------------------------------

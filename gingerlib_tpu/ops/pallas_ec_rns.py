@@ -106,11 +106,12 @@ def _from_mont_int(digits: tuple, nd: int, p: int, R: int) -> int:
 # ---------------------------------------------------------------------------
 
 def _eq_cols(a, b):
-    return jnp.sum(a ^ b, axis=0, keepdims=True) == 0
+    # int32 sums: Mosaic has no unsigned reductions (terms < 2^16, R <= 128)
+    return jnp.sum((a ^ b).astype(jnp.int32), axis=0, keepdims=True) == 0
 
 
 def _is_zero_cols(v):
-    return jnp.sum(v, axis=0, keepdims=True) == 0
+    return jnp.sum(v.astype(jnp.int32), axis=0, keepdims=True) == 0
 
 
 def _rns_sub(a, off, b, m, mu):

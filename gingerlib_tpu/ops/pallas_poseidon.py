@@ -93,10 +93,12 @@ def _bea_core_dm(x, p, nd: int, max_iters: int):
         jnp.uint32(1), jnp.uint32(0))
 
     def is_one(w):
-        return jnp.sum(w ^ one, axis=0, keepdims=True) == 0
+        # int32 sums: Mosaic has no unsigned reductions (digits < 2^16)
+        return jnp.sum((w ^ one).astype(jnp.int32), axis=0,
+                       keepdims=True) == 0
 
     def is_zero(w):
-        return jnp.sum(w, axis=0, keepdims=True) == 0
+        return jnp.sum(w.astype(jnp.int32), axis=0, keepdims=True) == 0
 
     def half_mod(w, odd):
         t = jnp.where(odd, w + p, w)
@@ -216,7 +218,8 @@ def _is_field_zero(v, zp):
     acc = None
     for kk in range(ZMAX):
         col = jnp.broadcast_to(zp[:, kk:kk + 1], v.shape)
-        eq = jnp.sum(v ^ col, axis=0, keepdims=True) == 0
+        eq = jnp.sum((v ^ col).astype(jnp.int32), axis=0,
+                     keepdims=True) == 0
         acc = eq if acc is None else (acc | eq)
     return acc
 

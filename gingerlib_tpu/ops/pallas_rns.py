@@ -135,7 +135,10 @@ def _alpha_rows(sigma, w, rows_lo, rows_hi, offset: int):
     """alpha [1, N] from masked sigma rows (sum sigma*w >> W_BITS)."""
     masked = jnp.where(_row_sel(rows_lo, rows_hi, sigma.shape),
                        sigma * w, 0)
-    t = jnp.sum(masked, axis=0, keepdims=True)
+    # Mosaic has no unsigned reductions; terms < 2^25 and k <= 64 keep the
+    # int32 sum well under 2^31
+    t = jnp.sum(masked.astype(jnp.int32), axis=0,
+                keepdims=True).astype(jnp.uint32)
     return (t + jnp.uint32(offset)) >> W_BITS
 
 
@@ -301,7 +304,8 @@ def _to_rns_k(digits, t_lo, t_hi, m, mu):
 
 def _alpha_rows_k(sigma, w, k: int, offset: int):
     masked = jnp.where(_row_sel(0, k, sigma.shape), sigma * w, 0)
-    t = jnp.sum(masked, axis=0, keepdims=True)
+    t = jnp.sum(masked.astype(jnp.int32), axis=0,
+                keepdims=True).astype(jnp.uint32)
     return (t + jnp.uint32(offset)) >> W_BITS
 
 
