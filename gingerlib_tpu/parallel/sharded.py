@@ -34,11 +34,12 @@ def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
 
 
 def sharded_msm(curve, mesh: Mesh, xs, ys, scalar_digits, c: int | None = None,
-                inf_mask=None, axis: str = "data"):
+                inf_mask=None, axis: str = "data", nbits: int | None = None):
     """MSM with points sharded across the mesh's axis.
 
     N must be divisible by the mesh size.  Output: replicated projective
-    point (each device folds the all-gathered partials).
+    point (each device folds the all-gathered partials).  ``nbits`` bounds
+    the scalar bit-width (fewer Pippenger windows for short scalars).
     """
     n = xs.shape[0]
     ndev = mesh.shape[axis]
@@ -47,7 +48,8 @@ def sharded_msm(curve, mesh: Mesh, xs, ys, scalar_digits, c: int | None = None,
         inf_mask = jnp.zeros((n,), bool)
 
     def local(xs_l, ys_l, sd_l, inf_l):
-        part = msm_mod.msm(curve, xs_l, ys_l, sd_l, c=c, inf_mask=inf_l)
+        part = msm_mod.msm(curve, xs_l, ys_l, sd_l, c=c, inf_mask=inf_l,
+                           nbits=nbits)
         # gather the per-device partials and fold locally (replicated out)
         stacked = tuple(
             jax.lax.all_gather(coord, axis) for coord in part)  # [ndev,...]
@@ -61,6 +63,41 @@ def sharded_msm(curve, mesh: Mesh, xs, ys, scalar_digits, c: int | None = None,
         check_rep=False,
     )(xs, ys, scalar_digits, inf_mask)
     return tuple(coord[0] for coord in out)
+
+
+def sharded_msm_scan(curve, mesh: Mesh, xs, ys, bits, axis: str = "data"):
+    """Data-parallel MSM via per-device double-and-add scans + all-gather
+    + a scan fold of the per-device partials.
+
+    Compile-lean alternative to :func:`sharded_msm`: the whole graph
+    contains O(1) EC-add bodies (every add lives inside a ``lax.scan``),
+    where Pippenger's sort/tree/Fenwick structure unrolls hundreds —
+    XLA:CPU compiles this in seconds instead of minutes.  Used by the
+    driver's multi-chip dryrun and CI smoke tests; the production path
+    for large N is still ``sharded_msm``.
+
+    bits: [N, nbits] per-point scalar bits, MSB first.
+    """
+    def local(xs_l, ys_l, bits_l):
+        one = jnp.broadcast_to(jnp.asarray(curve.F.one()), xs_l.shape)
+        acc = curve.mul_bits((xs_l, ys_l, one), bits_l)
+        part = msm_mod._tree_reduce(curve, acc)
+        gathered = tuple(jax.lax.all_gather(c, axis) for c in part)
+        flat = tuple(c.reshape((-1,) + c.shape[2:]) for c in gathered)
+
+        def step(carry, pt):
+            return curve.add(carry, pt), None
+
+        out, _ = jax.lax.scan(step, curve.zero(()), flat)
+        return out
+
+    spec = P(axis)
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=(P(), P(), P()),
+        check_rep=False,
+    )(xs, ys, bits)
 
 
 def sharded_fft(domain, mesh: Mesh, x_cyclic, inverse: bool = False,
