@@ -160,3 +160,53 @@ def test_sw6_gt_vector():
     gt = E.pairing(([c["g1_x"]], [c["g1_y"]]),
                    (list(c["g2_x"]), list(c["g2_y"])))
     assert gt == _SW6_GT_G1G2
+
+
+# ---------------------------------------------------------------------------
+# Reference bit-exact anchors for the 753 cycle (mnt4753/tests.rs:265-490,
+# mnt6753/tests.rs:319-614): explicit projective points and the full
+# pairing value, extracted by tools/extract_anchors.py.
+# ---------------------------------------------------------------------------
+
+def _anchor_case(name):
+    from gingerlib_tpu.params._gen import anchors_gen as A
+    from gingerlib_tpu.curves.pairing_host import (
+        host_mnt4753_pairing, host_mnt6753_pairing)
+    from gingerlib_tpu.gadgets.std.groups import _host_ext_inv, _host_ext_mul
+    host_fn = {"mnt4753": host_mnt4753_pairing,
+               "mnt6753": host_mnt6753_pairing}[name]
+    anchor = {"mnt4753": A.MNT4753_PAIRING_ANCHOR,
+              "mnt6753": A.MNT6753_PAIRING_ANCHOR}[name]
+    E = host_fn()
+    p = E.p
+    aX, aY, aZ = anchor["a"]
+    zi = pow(aZ, p - 2, p)
+    pa = ([aX * zi % p], [aY * zi % p])
+    bX, bY, bZ = anchor["b"]
+    zinv = _host_ext_inv(E.S, list(bZ))
+    qb = (_host_ext_mul(E.S, list(bX), zinv),
+          _host_ext_mul(E.S, list(bY), zinv))
+    return E, p, pa, qb, [v % p for v in anchor["gt"]]
+
+
+@pytest.mark.parametrize("name", ["mnt4753", "mnt6753"])
+def test_host_pairing_matches_reference_anchor(name):
+    E, p, pa, qb, gt = _anchor_case(name)
+    assert [v % p for v in E.pairing(pa, qb)] == gt
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ["mnt4753", "mnt6753"])
+def test_device_pairing_matches_reference_anchor(name):
+    from gingerlib_tpu.fields import fp as fpmod
+    eng = {"mnt4753": CI.mnt4753_pairing, "mnt6753": CI.mnt6753_pairing}[name]()
+    _, p, pa, qb, gt = _anchor_case(name)
+    import jax.numpy as jnp
+    px = jnp.asarray(fpmod.fp_from_ints(eng.fp, pa[0]))[None, :, :]
+    py = jnp.asarray(fpmod.fp_from_ints(eng.fp, pa[1]))[None, :, :]
+    qx = jnp.asarray(fpmod.fp_from_ints(eng.fp, qb[0]))[None, :, :]
+    qy = jnp.asarray(fpmod.fp_from_ints(eng.fp, qb[1]))[None, :, :]
+    out = eng.pairing((px, py), (qx, qy))
+    got = T.ext_to_ints(eng.fqk, np.asarray(out).reshape(
+        eng.fqk.K, eng.fp.n_digits))
+    assert got == gt

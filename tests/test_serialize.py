@@ -119,3 +119,49 @@ def test_gt_compression_roundtrip():
             seen.add(bits[-1])
             g = E._fmul(g, gt)
         assert seen == {True, False}, "both parities exercised"
+
+
+def test_proof_and_vk_bytes_match_hand_derived_reference_layout():
+    """Pin exact bytes against an INDEPENDENT hand-derivation of the
+    reference layout (groth16/mod.rs:35-118): Fp = 96-byte little-endian
+    standard form ([u64; 12] LE, fp_768.rs:784-789), affine point =
+    x ‖ y ‖ infinity-byte (short_weierstrass_projective.rs:185-192),
+    vk = alpha_g1_beta_g2 ‖ gamma_g2 ‖ delta_g2 ‖ BE-u32 len ‖ points."""
+    import jax.numpy as jnp
+    from gingerlib_tpu.params._gen import curves_gen as CG
+    from gingerlib_tpu.params._gen import anchors_gen as A
+    from gingerlib_tpu.proofs.groth16 import Proof, VerifyingKey
+    from gingerlib_tpu.curves import instances as CI
+
+    eng = CI.mnt4753_pairing()
+    c = CG.MNT4753
+    W = 96
+
+    def le(v):
+        return int(v).to_bytes(W, "little")
+
+    g1b = le(c["g1_x"]) + le(c["g1_y"]) + b"\x00"
+    g2b = (b"".join(le(v) for v in c["g2_x"]) +
+           b"".join(le(v) for v in c["g2_y"]) + b"\x00")
+
+    g1gen = eng.g1.generator_affine
+    g2gen = eng.g2.generator_affine
+    proof = Proof(a=g1gen, b=g2gen, c=g1gen)
+    assert S.proof_to_bytes(eng, proof) == g1b + g2b + g1b
+
+    gt_host = A.MNT4753_PAIRING_ANCHOR["gt"]
+    p = eng.fp.modulus
+    from gingerlib_tpu.fields import towers as T
+    gt_dev = jnp.asarray(eng.fqk.const([v % p for v in gt_host]))
+    vk = VerifyingKey(
+        alpha_g1_beta_g2=gt_dev,
+        gamma_g2=g2gen, delta_g2=g2gen,
+        gamma_abc_g1=(jnp.stack([g1gen[0], g1gen[0]]),
+                      jnp.stack([g1gen[1], g1gen[1]])))
+    exp = (b"".join(le(v % p) for v in gt_host) + g2b + g2b +
+           b"\x00\x00\x00\x02" + g1b + g1b)
+    assert S.vk_to_bytes(eng, vk) == exp
+    # roundtrip through the parser stays bit-identical
+    vk2, off = S.vk_from_bytes(eng, exp)
+    assert off == len(exp)
+    assert S.vk_to_bytes(eng, vk2) == exp
