@@ -31,6 +31,17 @@ for tile in (128, 256, 512, 1024, 2048, 4096):
     except Exception as e:
         print(f"tile={tile} FAILED: {type(e).__name__}: {e}")
         continue
+    # correctness gate before timing: a tile size that compiles but
+    # miscomputes must not be reported as "fastest" (advisor round 2)
+    ncheck = 8
+    ra, _ = pallas_rns.unpack_rns(ctx, jnp.asarray(out))
+    got = rns.from_rns(ctx, np.asarray(ra)[:ncheck])
+    ys = xs[::-1]
+    bad = [i for i in range(ncheck)
+           if got[i] % q != xs[i] * ys[i] * pow(ctx.MA, -1, q) % q]
+    if bad:
+        print(f"tile={tile} MISCOMPUTES at columns {bad}; skipping")
+        continue
     t0 = time.perf_counter()
     reps = 10
     for _ in range(reps):

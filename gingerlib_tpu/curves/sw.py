@@ -298,10 +298,21 @@ class SWCurveOps:
 
     def to_affine(self, P):
         """Projective -> affine ((0,0) for infinity, matching the reference's
-        affine zero convention, short_weierstrass_projective.rs:37)."""
+        affine zero convention, short_weierstrass_projective.rs:37).
+
+        Batched inputs share ONE field inversion via the product tree
+        (batch_normalization, short_weierstrass_projective.rs:100):
+        per-element BEA scales linearly with batch on TPU and is the
+        prover's dominant fixed cost otherwise."""
         F = self.F
         X, Y, Z = P
-        zinv = F.inv(Z)  # 0 -> 0
+        batch = Z.shape[:-2]
+        if batch and int(np.prod(batch)) > 1:
+            from ..fields import towers as _T
+            flat = Z.reshape((-1,) + Z.shape[len(batch):])
+            zinv = _T.ext_batch_inverse_tree(F, flat).reshape(Z.shape)
+        else:
+            zinv = F.inv(Z)  # 0 -> 0
         x = F.mul(X, zinv)
         y = F.mul(Y, zinv)
         return x, y

@@ -83,16 +83,20 @@ class Domain:
 
     def fft(self, coeffs):
         """coeffs [..., m, nd] (Montgomery) -> evaluations at ω^j."""
-        return _fft_core(self.params, coeffs, self._twiddles)
+        tw = _powers_table(self.params, self.gen, self.size // 2,
+                           lambda: self._twiddles)
+        return _fft_core(self.params, coeffs, tw)
 
     def ifft(self, evals):
-        out = _fft_core(self.params, evals, self._inv_twiddles)
+        tw = _powers_table(self.params, self.gen_inv, self.size // 2,
+                           lambda: self._inv_twiddles)
+        out = _fft_core(self.params, evals, tw)
         scale = fpmod.fp_from_int(self.params, self.size_inv)
         return fpmod.mont_mul(self.params, out, jnp.asarray(scale))
 
     def distribute_powers(self, x, base: int):
         """x_i *= base^i (domain.rs:140). base is a host int."""
-        powers = _build_powers(self.params, base, self.size)
+        powers = _powers_table(self.params, base, self.size)
         return fpmod.mont_mul(self.params, x, powers)
 
     def coset_fft(self, coeffs):
@@ -138,7 +142,7 @@ class Domain:
                     out[i] = fpmod.fp_from_int(P, 1)
                 w = w * self.gen % p
             return jnp.asarray(out)
-        omega_pows = _build_powers(P, self.gen, m)
+        omega_pows = _powers_table(P, self.gen, m)
         tau_d = jnp.asarray(fpmod.fp_from_int(P, tau))
         denom = fpmod.sub_mod(P, jnp.broadcast_to(tau_d, omega_pows.shape),
                               omega_pows)
@@ -147,6 +151,37 @@ class Domain:
         num = fpmod.mont_mul(
             P, omega_pows, jnp.asarray(fpmod.fp_from_int(P, zi)))
         return fpmod.mont_mul(P, num, denom_inv)
+
+
+def _build_powers_device(params: FpParams, base: int, n: int):
+    """[1, base, ..., base^(n-1)] built IN-GRAPH by log2(n) doubling muls.
+
+    Used when tracing for the TPU: a closed-over host table becomes an
+    HLO *constant*, and at 2^20 x 48 digits that is a ~200 MB program the
+    remote-compile tunnel rejects (HTTP 413).  The in-graph build adds
+    only ~n total mults (~10% of one FFT) and keeps the program small.
+    """
+    if n == 0:
+        return jnp.zeros((0, params.n_digits), jnp.uint32)
+    pw = jnp.asarray(fpmod.fp_from_ints(params, [1]))
+    step = base % params.modulus
+    while pw.shape[0] < n:
+        hi = fpmod.mont_mul(
+            params, pw, jnp.asarray(fpmod.fp_from_int(params, step)))
+        pw = jnp.concatenate([pw, hi], axis=0)
+        step = step * step % params.modulus
+    return pw[:n]
+
+
+def _powers_table(params: FpParams, base: int, n: int, host_thunk=None):
+    """Dispatch: in-graph build on the TPU backend (tunnel program-size
+    limit), cached host table elsewhere.  host_thunk: lazy provider of the
+    cached host table (so the TPU path never materializes it)."""
+    import jax as _jax
+    if _jax.default_backend() == "tpu":
+        return _build_powers_device(params, base, n)
+    return jnp.asarray(host_thunk() if host_thunk is not None
+                       else _build_powers(params, base, n))
 
 
 def _build_powers(params: FpParams, base: int, n: int):
@@ -228,10 +263,14 @@ class MixedRadixDomain:
         return _build_powers(self.params, self.gen_inv, self.size)
 
     def fft(self, coeffs):
-        return _fft_mixed(self.params, coeffs, self._powers, self.factors)
+        pw = _powers_table(self.params, self.gen, self.size,
+                           lambda: self._powers)
+        return _fft_mixed(self.params, coeffs, pw, self.factors)
 
     def ifft(self, evals):
-        out = _fft_mixed(self.params, evals, self._inv_powers, self.factors)
+        pw = _powers_table(self.params, self.gen_inv, self.size,
+                           lambda: self._inv_powers)
+        out = _fft_mixed(self.params, evals, pw, self.factors)
         scale = fpmod.fp_from_int(self.params, self.size_inv)
         return fpmod.mont_mul(self.params, out, jnp.asarray(scale))
 

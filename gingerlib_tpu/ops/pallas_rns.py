@@ -135,8 +135,11 @@ def _alpha_rows(sigma, w, rows_lo, rows_hi, offset: int):
     """alpha [1, N] from masked sigma rows (sum sigma*w >> W_BITS)."""
     masked = jnp.where(_row_sel(rows_lo, rows_hi, sigma.shape),
                        sigma * w, 0)
-    # Mosaic has no unsigned reductions; terms < 2^25 and k <= 64 keep the
-    # int32 sum well under 2^31
+    # Mosaic has no unsigned reductions; terms <= 2^25 - w_min and
+    # k <= rns.MAX_K=64 bound the int32 sum by 2^31 - 2^17 — only a 0.006%
+    # margin below overflow (statically guarded in rns.py: make_context
+    # asserts k <= MAX_K and module load asserts the bound itself);
+    # ALPHA_OFF is added below in uint32, outside the signed sum
     t = jnp.sum(masked.astype(jnp.int32), axis=0,
                 keepdims=True).astype(jnp.uint32)
     return (t + jnp.uint32(offset)) >> W_BITS

@@ -61,6 +61,15 @@ CH_MIN = 3 << (CH_BITS - 2)   # primes in (0.75, 1) * 2^14
 CH_MAX = 1 << CH_BITS
 W_BITS = 25                   # alpha weights w_i = floor(2^25 / m_i)
 ALPHA_OFF = 1 << 20           # exact-floor offset (>= k * 2^14 error)
+# Kawamura alpha terms sigma_i * w_i <= (m_i - 1) * floor(2^W_BITS / m_i)
+# <= 2^W_BITS - w_min < 2^25 each; the int32 row-sum in
+# pallas_rns._alpha_rows (ALPHA_OFF is added later, in uint32) peaks at
+# MAX_K * (2^25 - 2^11) = 2^31 - 2^17 — a 0.006% margin below int32
+# overflow.  MAX_K guards it: raising W_BITS/CH_BITS or the channel count
+# must trip this assert rather than silently corrupt every base extension.
+MAX_K = 64
+assert MAX_K * ((1 << W_BITS) - (1 << (W_BITS - CH_BITS))) < 2 ** 31, \
+    "alpha row-sum would overflow int32 (see pallas_rns._alpha_rows)"
 GUARD_BITS = 10               # M > 2^10 p: mul inputs may reach 24p
 
 
@@ -124,6 +133,8 @@ def make_context(p: int) -> RNSContext:
         if MA >> GUARD_BITS > p and MB >> GUARD_BITS > p:
             break
         k += 1
+    assert k <= MAX_K, \
+        f"k={k} channels would overflow the int32 alpha sum (MAX_K={MAX_K})"
 
     def sig(ms, M):
         return tuple(pow(M // m % m, -1, m) for m in ms)
