@@ -304,7 +304,8 @@ _PROVE_JIT_CACHE: dict = {}  # only value-hashable keys (e.g. FpParams)
 
 def create_proof(engine: MNTPairing, params: Parameters,
                  compiled: CompiledR1CS, assignment, r: int, s: int,
-                 d1: int = 0, d2: int = 0, d3: int = 0) -> Proof:
+                 d1: int = 0, d2: int = 0, d3: int = 0,
+                 mesh=None) -> Proof:
     """assignment: full value list (python ints) or device Montgomery array
     [nvars, nd].  r, s: blinding scalars (ints; pinned for reproducibility).
 
@@ -332,7 +333,7 @@ def create_proof(engine: MNTPairing, params: Parameters,
     rsd = jnp.asarray(limbs.to_digits_batch([rs], fr.n_digits))
 
     a, b, c = _create_proof_device(engine, compiled, _params_arrays(params),
-                                   z, rd, sd, rsd, blind)
+                                   z, rd, sd, rsd, blind, mesh=mesh)
     return Proof(a=a, b=b, c=c)
 
 
@@ -364,6 +365,39 @@ def _vmsm_jit(curve, query, scalars):
     return fn(xs, ys, inf, scalars)
 
 
+def _vmsm_sharded_jit(curve, mesh, query, scalars):
+    """Mesh-sharded prover MSM: points+scalars split over the mesh's data
+    axis, per-device Pippenger, all-gather + fold (parallel/sharded.py).
+    The TPU analogue of the prover's rayon MSMs (prover.rs:248-322)."""
+    from ..parallel import sharded
+
+    xs, ys, inf = query
+    n = scalars.shape[0]
+    ndev = mesh.shape["data"]
+    npad = -(-n // ndev) * ndev
+    key = ("vmsm_mesh", int(n), tuple(xs.shape),
+           tuple(d.id for d in mesh.devices.flat))
+
+    def build():
+        def run(xs, ys, inf, sc):
+            xs_, ys_, inf_ = xs[:n], ys[:n], inf[:n]
+            if npad != n:
+                pad = npad - n
+                # repeat arbitrary points, masked to infinity w/ scalar 0
+                xs_ = jnp.concatenate([xs_, xs_[:pad]], axis=0)
+                ys_ = jnp.concatenate([ys_, ys_[:pad]], axis=0)
+                inf_ = jnp.concatenate(
+                    [inf_, jnp.ones((pad,), bool)], axis=0)
+                sc = jnp.concatenate(
+                    [sc, jnp.zeros((pad,) + sc.shape[1:], sc.dtype)],
+                    axis=0)
+            return sharded.sharded_msm(curve, mesh, xs_, ys_, sc,
+                                       inf_mask=inf_)
+        return run
+
+    return _jit_unit(curve, key, build)(xs, ys, inf, scalars)
+
+
 def _smul_jit(curve, affine, kd):
     key = "smul"
 
@@ -379,8 +413,13 @@ def _smul_jit(curve, affine, kd):
     return _jit_unit(curve, key, build)(affine[0], affine[1], kd)
 
 
-def _create_proof_device(engine, compiled, pa, z, rd, sd, rsd, blind):
-    """prover.rs:201-346 device dataflow (small cached jit units)."""
+def _create_proof_device(engine, compiled, pa, z, rd, sd, rsd, blind,
+                         mesh=None):
+    """prover.rs:201-346 device dataflow (small cached jit units).
+
+    mesh: optional jax.sharding.Mesh with a "data" axis — the 6 query MSMs
+    then shard points over the mesh (multi-chip prover, bit-identical to
+    the single-device path)."""
     g1, g2 = engine.g1, engine.g2
     fr = g1.scalar_field
     (a_query, b_g1_query, b_g2_query, h_query, l_query, alpha_g1, beta_g1,
@@ -405,8 +444,10 @@ def _create_proof_device(engine, compiled, pa, z, rd, sd, rsd, blind):
 
     def vmsm(query, scalars):
         xs, ys, inf = query
-        return _vmsm_jit(g1 if xs.shape[-2] == g1.F.K else g2,
-                         query, scalars)
+        curve = g1 if xs.shape[-2] == g1.F.K else g2
+        if mesh is not None:
+            return _vmsm_sharded_jit(curve, mesh, query, scalars)
+        return _vmsm_jit(curve, query, scalars)
 
     def smul(curve, affine, kd):
         return _smul_jit(curve, affine, kd)

@@ -76,3 +76,44 @@ def test_sharded_fft_matches_local():
                                   cyclic_layout(jnp.asarray(got), 8),
                                   inverse=True))
     assert (back == np.asarray(xd)).all()
+
+
+@pytest.mark.slow
+def test_mesh_prover_bit_identical():
+    """create_proof(mesh=8-device CPU mesh) == single-device proof
+    (prover.rs:248-322 rayon analogue; VERDICT r2 item 9)."""
+    from gingerlib_tpu.relations.r1cs import (
+        ConstraintSystem, LinearCombination, compile_r1cs)
+    from gingerlib_tpu.proofs import groth16
+
+    eng = CI.mnt6298_pairing()
+    fr = eng.g1.scalar_field
+    cs = ConstraintSystem(fr)
+    a = cs.alloc_input("a", 3)
+    c = cs.alloc_input("c", 15)
+    b = cs.alloc("b", 5)
+    cs.enforce(LinearCombination.of(a), LinearCombination.of(b),
+               LinearCombination.of(c), "a*b=c")
+    compiled = compile_r1cs(cs)
+    params = groth16.generate_parameters(eng, cs, alpha=12, beta=34,
+                                         gamma=56, delta=78, t=91)
+    p_local = groth16.create_proof(eng, params, compiled, cs.assignment(),
+                                   r=3, s=7)
+    mesh = make_mesh(8)
+    p_mesh = groth16.create_proof(eng, params, compiled, cs.assignment(),
+                                  r=3, s=7, mesh=mesh)
+    for c_l, c_m in zip(p_local.a + p_local.b + p_local.c,
+                        p_mesh.a + p_mesh.b + p_mesh.c):
+        assert np.array_equal(np.asarray(c_l), np.asarray(c_m))
+
+
+def test_distributed_single_process_noop():
+    """Multi-host init path: single-process is a documented no-op and the
+    global mesh spans all (virtual) devices."""
+    from gingerlib_tpu.parallel import distributed
+    assert distributed.init_from_env() is False
+    assert distributed.init_distributed(num_processes=1) is False
+    mesh = distributed.global_mesh()
+    assert mesh.shape["data"] == len(jax.devices())
+    idx, cnt = distributed.process_info()
+    assert (idx, cnt) == (0, 1)
