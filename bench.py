@@ -18,9 +18,10 @@ full-size intermediate), then one batched-affine Pippenger MSM
 
 import json
 import os
+import sys
 import time
 
-N_LOG2 = int(os.environ.get("BENCH_MSM_LOG2", "16"))
+N_LOG2 = int(os.environ.get("BENCH_MSM_LOG2", "20"))
 GEN_CHUNK_LOG2 = int(os.environ.get("BENCH_GEN_CHUNK_LOG2", "14"))
 CPU_BASELINE_PPS = 6.0e4
 # reference Groth16 prover on the BASELINE toy config (~2^10 constraints,
@@ -77,22 +78,29 @@ def main():
                   f"using XLA path", file=sys.stderr)
             os.environ["GINGERLIB_FUSED_EC"] = "0"
 
-    # on-device point generation: [k]G, k random in [1, 2^32)
-    gen_bits = 32
-    rng = np.random.RandomState(42)
-    table = jax.jit(lambda: msm_mod.fixed_base_table(
-        g1, g1.generator_affine, w=8, nbits=gen_bits))()
-    gen = jax.jit(lambda kd: msm_mod.fixed_base_msm_windowed(
-        g1, table, kd, w=8, nbits=gen_bits))
-    xs_np = np.empty((n, 1, fr.n_digits), np.uint32)
-    ys_np = np.empty((n, 1, fr.n_digits), np.uint32)
-    for s in range(0, n, chunk):
-        ks = rng.randint(1, 1 << 31, size=chunk).astype(np.int64) * 2 + 1
-        kd = jnp.asarray(limbs.to_digits_batch(
-            [int(k) for k in ks], fr.n_digits))
-        (cx, cy), _ = gen(kd)
-        xs_np[s:s + chunk] = fetch(cx)
-        ys_np[s:s + chunk] = fetch(cy)
+    # on-device point generation: [k]G, k random in [1, 2^32); the point
+    # set is deterministic (seed 42), so cache it on disk across runs
+    cache_path = f"/tmp/gingerlib_bench_pts_{g1.name}_{N_LOG2}.npz"
+    if os.path.exists(cache_path):
+        z = np.load(cache_path)
+        xs_np, ys_np = z["xs"], z["ys"]
+    else:
+        gen_bits = 32
+        rng = np.random.RandomState(42)
+        table = jax.jit(lambda: msm_mod.fixed_base_table(
+            g1, g1.generator_affine, w=8, nbits=gen_bits))()
+        gen = jax.jit(lambda kd: msm_mod.fixed_base_msm_windowed(
+            g1, table, kd, w=8, nbits=gen_bits))
+        xs_np = np.empty((n, 1, fr.n_digits), np.uint32)
+        ys_np = np.empty((n, 1, fr.n_digits), np.uint32)
+        for s in range(0, n, chunk):
+            ks = rng.randint(1, 1 << 31, size=chunk).astype(np.int64) * 2 + 1
+            kd = jnp.asarray(limbs.to_digits_batch(
+                [int(k) for k in ks], fr.n_digits))
+            (cx, cy), _ = gen(kd)
+            xs_np[s:s + chunk] = fetch(cx)
+            ys_np[s:s + chunk] = fetch(cy)
+        np.savez(cache_path, xs=xs_np, ys=ys_np)
     xs = jnp.asarray(xs_np)
     ys = jnp.asarray(ys_np)
 
@@ -122,19 +130,32 @@ def main():
             os.environ[fallback] = "0"
             run = make_run()
 
-    reps = 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = run(xs, ys, sd)
-    fetch(out[0])
-    dt = (time.perf_counter() - t0) / reps
+    rung = ("rns" if os.environ.get("GINGERLIB_EC_RNS") == "1" else
+            "fused" if os.environ.get("GINGERLIB_FUSED_EC", "1") != "0"
+            else "xla")
+    print(f"msm kernel rung: {rung}", file=sys.stderr)
 
-    pps = n / dt
+    # time the first (already-run) pass to size the rep count: at 2^20 a
+    # single pass is minutes — don't triple it
+    t0 = time.perf_counter()
+    out = run(xs, ys, sd)
+    fetch(out[0])
+    dt1 = time.perf_counter() - t0
+    reps = 1 if dt1 > 60 else 3
+    if reps > 1:
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = run(xs, ys, sd)
+        fetch(out[0])
+        dt1 = (time.perf_counter() - t0) / reps
+
+    pps = n / dt1
     print(json.dumps({
         "metric": f"msm_points_per_sec_2e{N_LOG2}_g1_mnt4753",
         "value": round(pps, 2),
         "unit": "points/s",
         "vs_baseline": round(pps / CPU_BASELINE_PPS, 4),
+        "rung": rung,
     }))
 
 
@@ -266,12 +287,18 @@ def main_poseidon():
 
 
 if __name__ == "__main__":
-    which = os.environ.get("BENCH_METRIC", "msm")
-    if which == "groth16":
-        main_groth16()
-    elif which == "fft":
-        main_fft()
-    elif which == "poseidon":
-        main_poseidon()
+    which = os.environ.get("BENCH_METRIC", "all")
+    fns = {"groth16": main_groth16, "fft": main_fft,
+           "poseidon": main_poseidon, "msm": main}
+    if which in fns:
+        fns[which]()
     else:
+        # default: all four BASELINE configs in one run, cheap first and
+        # the headline MSM line last (the driver keeps the tail)
+        for name in ("poseidon", "fft", "groth16"):
+            try:
+                fns[name]()
+            except Exception as e:  # pragma: no cover - keep the run alive
+                print(f"bench {name} failed: {type(e).__name__}: {e}",
+                      file=sys.stderr)
         main()

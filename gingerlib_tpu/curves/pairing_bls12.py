@@ -109,20 +109,16 @@ class Bls12Pairing:
     # ------------------------------------------------------------------
 
     def _ell(self, f, coeff, px, py):
+        """f *= line — sparse Fq12 multiplication (mul_by_014 for M twist,
+        mul_by_034 for D): ~13 Fq2 mults vs 18 dense (bls12/mod.rs:60-76,
+        fp12_2over3over2.rs:95-114)."""
         S = self.sub
         c0, c1, c2 = coeff
-        zero2 = jnp.zeros_like(c0)
         if self.twist_type == "M":
-            cc2 = S.scale_fp(c2, py)
-            cc1 = S.scale_fp(c1, px)
-            line = jnp.concatenate([c0, cc1, zero2, zero2, cc2, zero2],
-                                   axis=-2)
-        else:
-            cc0 = S.scale_fp(c0, py)
-            cc1 = S.scale_fp(c1, px)
-            line = jnp.concatenate([cc0, zero2, zero2, cc1, c2, zero2],
-                                   axis=-2)
-        return self.fqk.mul(f, line)
+            return self.fqk.mul_by_014(
+                f, c0, S.scale_fp(c1, px), S.scale_fp(c2, py))
+        return self.fqk.mul_by_034(
+            f, S.scale_fp(c0, py), S.scale_fp(c1, px), c2)
 
     # ------------------------------------------------------------------
     # Miller loop / final exponentiation
@@ -147,7 +143,9 @@ class Bls12Pairing:
         return f
 
     def _exp_by_x(self, f):
-        g = T.ext_pow_const(self.fqk, f, self.x_bits_arr)
+        """f^x in the cyclotomic subgroup (every _exp_by_x input in the
+        2016/130 hard part is unitary): wNAF + Granger-Scott squarings."""
+        g = T.ext_cyclotomic_pow_const(self.fqk, f, self.x)
         return self.fqk.conjugate(g) if self.x_is_neg else g
 
     def final_exponentiation(self, f):
@@ -158,10 +156,10 @@ class Bls12Pairing:
         f2 = r
         r = F.frob(r, 2)
         r = F.mul(r, f2)
-        # hard part (2016/130 Table 1)
-        y0 = F.conjugate(F.sqr(r))
+        # hard part (2016/130 Table 1); r and y5 are unitary
+        y0 = F.conjugate(F.cyclotomic_square(r))
         y5 = self._exp_by_x(r)
-        y1 = F.sqr(y5)
+        y1 = F.cyclotomic_square(y5)
         y3 = F.mul(y0, y5)
         y0 = self._exp_by_x(y3)
         y2 = self._exp_by_x(y0)

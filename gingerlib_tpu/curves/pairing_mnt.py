@@ -57,8 +57,8 @@ class MNTPairing:
         # the loop runs MSB->LSB
         self.wnaf = np.asarray(list(reversed(wnaf)), np.int32)
         self.ate_is_neg = ate_is_neg
-        self.w1_bits = limbs.bits_msb_first(w1, max(1, w1.bit_length()))
-        self.w0_bits = limbs.bits_msb_first(w0_abs, max(1, w0_abs.bit_length()))
+        self.w1 = w1
+        self.w0_abs = w0_abs
         self.w0_is_neg = w0_is_neg
         self.easy_frob = easy_frob
         self.easy_mul_q_plus_1 = easy_mul_q_plus_1
@@ -195,10 +195,12 @@ class MNTPairing:
 
         elt = first_chunk(f, f_inv)
         elt_inv = first_chunk(f_inv, f)
-        # hard part: elt^(m1·q + m0)
-        w1_part = T.ext_pow_const(F, F.frob(elt, 1), self.w1_bits)
+        # hard part: elt^(m1·q + m0).  After the easy part elt is unitary,
+        # so both pow chains run in the cyclotomic subgroup (wNAF +
+        # cyclotomic squarings; cyclotomic_exp, fp4.rs:84-109).
+        w1_part = T.ext_cyclotomic_pow_const(F, F.frob(elt, 1), self.w1)
         base0 = elt_inv if self.w0_is_neg else elt
-        w0_part = T.ext_pow_const(F, base0, self.w0_bits)
+        w0_part = T.ext_cyclotomic_pow_const(F, base0, self.w0_abs)
         return F.mul(w1_part, w0_part)
 
     # ------------------------------------------------------------------

@@ -154,10 +154,28 @@ class QuadExtOps(_ExtBase):
         self.nr = jnp.asarray(sub.const(nonresidue_host))
         # frobenius coeffs: subfield constants, one per power i in 0..K-1
         self.frob_c1 = [jnp.asarray(sub.const(c)) for c in frob_c1_host]
+        # When the nonresidue is the subfield's own tower generator X
+        # (all MNT4/MNT6/BLS12 top towers), multiplying by it is a
+        # component rotation + one nonresidue mul instead of a full
+        # subfield multiplication (fp4.rs:64-68, fp6_2over3.rs:66-77,
+        # fp12_2over3over2.rs mul_fp6_by_nonresidue).
+        if isinstance(sub, _ExtBase):
+            gen = [0] * sub.K
+            gen[sub.sf.K] = 1
+            self.nr_is_sub_gen = list(_flatten_host(nonresidue_host)) == gen
+        else:
+            self.nr_is_sub_gen = False
 
     def mul_by_nonresidue(self, a):
         """subfield element * Y^2."""
+        if self.nr_is_sub_gen:
+            return self.sf.mul_by_gen(a)
         return self.sf.mul(a, self.nr)
+
+    def mul_by_gen(self, x):
+        """x * Y (the tower generator): (a0, a1) -> (nr*a1, a0)."""
+        a0, a1 = self._split(x)
+        return self._join((self.mul_by_nonresidue(a1), a0))
 
     def mul(self, x, y):
         a0, a1 = self._split(x)
@@ -204,6 +222,86 @@ class QuadExtOps(_ExtBase):
         """Multiply by a subfield element s (sparse)."""
         a0, a1 = self._split(x)
         return self._join((self.sf.mul(a0, s), self.sf.mul(a1, s)))
+
+    # --- cyclotomic-subgroup (GT) fast ops ---------------------------------
+
+    def cyclotomic_square(self, x):
+        """Squaring of unitary elements (norm 1; conjugate == inverse).
+
+        Granger-Scott compressed squaring for the 2over3over2 tower
+        (fp12_2over3over2.rs:116-180).  Otherwise the quartic formula
+        (fp4.rs:74-81): 2 sub-squarings instead of the 3 sub-mults of a
+        generic square — also applied to Fq6 = quad(Fq3), where the
+        reference falls back to a generic square (fp6_2over3.rs:83-107).
+        """
+        S = self.sf
+        if isinstance(S, CubicExtOps) and isinstance(S.sf, QuadExtOps):
+            return self._cyclotomic_square_gs(x)
+        a0, a1 = self._split(x)
+        a = S.sqr(a1)
+        b = S.add(a1, a0)
+        c = S.sub(S.sqr(b), a)
+        d = self.mul_by_nonresidue(a)
+        e = S.sub(c, d)
+        one = jnp.broadcast_to(jnp.asarray(S.one()), a.shape)
+        return self._join((S.add(S.double(d), one), S.sub(e, one)))
+
+    def _cyclotomic_square_gs(self, x):
+        """fp12_2over3over2.rs:116-180 — three Fp4-style squarings over the
+        (z0,z1),(z2,z3),(z4,z5) pairs of Fq2 slices."""
+        fq6 = self.sf
+        fq2 = fq6.sf
+        c0, c1 = self._split(x)
+        z0, z4, z3 = fq6._split(c0)
+        z2, z1, z5 = fq6._split(c1)
+        nr = fq6.mul_by_nonresidue      # Fq2 * xi
+
+        def sq_pair(za, zb):
+            tmp = fq2.mul(za, zb)
+            ta = fq2.sub(fq2.sub(
+                fq2.mul(fq2.add(za, zb), fq2.add(za, nr(zb))), tmp), nr(tmp))
+            return ta, fq2.double(tmp)
+
+        t0, t1 = sq_pair(z0, z1)
+        t2, t3 = sq_pair(z2, z3)
+        t4, t5 = sq_pair(z4, z5)
+        nz0 = fq2.add(fq2.double(fq2.sub(t0, z0)), t0)   # 3t0 - 2z0
+        nz1 = fq2.add(fq2.double(fq2.add(t1, z1)), t1)   # 3t1 + 2z1
+        xt5 = nr(t5)
+        nz2 = fq2.add(fq2.double(fq2.add(xt5, z2)), xt5)  # 3·xi·t5 + 2z2
+        nz3 = fq2.add(fq2.double(fq2.sub(t4, z3)), t4)   # 3t4 - 2z3
+        nz4 = fq2.add(fq2.double(fq2.sub(t2, z4)), t2)   # 3t2 - 2z4
+        nz5 = fq2.add(fq2.double(fq2.add(t3, z5)), t3)   # 3t3 + 2z5
+        return self._join((fq6._join((nz0, nz4, nz3)),
+                           fq6._join((nz2, nz1, nz5))))
+
+    # --- sparse line multiplications (2over3over2 tower) -------------------
+
+    def mul_by_014(self, x, c0, c1, c4):
+        """x · (c0 + c1·V + c4·V·W), c* ∈ Fq2 — the M-twist BLS12 line
+        (fp12_2over3over2.rs:95-114): ~13 Fq2 mults vs 18 for a dense mul."""
+        fq6 = self.sf
+        a_, b_ = self._split(x)
+        aa = fq6.mul_by_01(a_, c0, c1)
+        bb = fq6.mul_by_1(b_, c4)
+        o = fq6.sf.add(c1, c4)
+        nc1 = fq6.sub(fq6.sub(
+            fq6.mul_by_01(fq6.add(a_, b_), c0, o), aa), bb)
+        nc0 = fq6.add(self.mul_by_nonresidue(bb), aa)
+        return self._join((nc0, nc1))
+
+    def mul_by_034(self, x, c0, c3, c4):
+        """x · (c0 + c3·W + c4·V·W), c* ∈ Fq2 — the D-twist BLS12 line
+        (same Karatsuba shape as mul_by_014 with the roles flipped)."""
+        fq6 = self.sf
+        a_, b_ = self._split(x)
+        aa = fq6.mul_by_sub(a_, c0)
+        bb = fq6.mul_by_01(b_, c3, c4)
+        o = fq6.sf.add(c0, c3)
+        nc1 = fq6.sub(fq6.sub(
+            fq6.mul_by_01(fq6.add(a_, b_), o, c4), aa), bb)
+        nc0 = fq6.add(self.mul_by_nonresidue(bb), aa)
+        return self._join((nc0, nc1))
 
 
 class CubicExtOps(_ExtBase):
@@ -264,6 +362,31 @@ class CubicExtOps(_ExtBase):
         S = self.sf
         return self._join((S.mul(a0, s), S.mul(a1, s), S.mul(a2, s)))
 
+    def mul_by_gen(self, x):
+        """x * X (the tower generator): (a0,a1,a2) -> (nr*a2, a0, a1)."""
+        a0, a1, a2 = self._split(x)
+        return self._join((self.mul_by_nonresidue(a2), a0, a1))
+
+    def mul_by_01(self, x, b0, b1):
+        """x · (b0 + b1·X), b0,b1 ∈ subfield — 5 sub-mults instead of 6
+        (fp6_3over2.rs mul_by_01 shape)."""
+        a0, a1, a2 = self._split(x)
+        S = self.sf
+        aa = S.mul(a0, b0)
+        bb = S.mul(a1, b1)
+        c0 = S.add(self.mul_by_nonresidue(
+            S.sub(S.mul(S.add(a1, a2), b1), bb)), aa)
+        c1 = S.sub(S.sub(S.mul(S.add(a0, a1), S.add(b0, b1)), aa), bb)
+        c2 = S.add(S.sub(S.mul(S.add(a0, a2), b0), aa), bb)
+        return self._join((c0, c1, c2))
+
+    def mul_by_1(self, x, b1):
+        """x · (b1·X), b1 ∈ subfield — 3 sub-mults."""
+        a0, a1, a2 = self._split(x)
+        S = self.sf
+        return self._join((self.mul_by_nonresidue(S.mul(a2, b1)),
+                           S.mul(a0, b1), S.mul(a1, b1)))
+
 
 # ---------------------------------------------------------------------------
 # generic helpers on any Ops
@@ -281,6 +404,42 @@ def ext_pow_const(ops, x, exp_bits: np.ndarray):
         return r, None
 
     r, _ = jax.lax.scan(step, one, bits)
+    return r
+
+
+def _wnaf_digits_msb(e: int):
+    """Signed NAF digits of e >= 1, MSB first (find_wnaf, biginteger)."""
+    digs = []
+    while e:
+        if e & 1:
+            d = 2 - (e & 3)
+            e -= d
+        else:
+            d = 0
+        digs.append(d)
+        e >>= 1
+    return list(reversed(digs))
+
+
+def ext_cyclotomic_pow_const(ops, x, e: int):
+    """x^e for unitary x (GT): wNAF scan with cyclotomic squarings and the
+    free conjugate inverse (cyclotomic_exp, fp4.rs:84-109) — one select-mul
+    per step instead of square-and-multiply with generic squarings."""
+    import jax
+    if e == 0:
+        return jnp.broadcast_to(jnp.asarray(ops.one()), x.shape)
+    digs = jnp.asarray(np.asarray(_wnaf_digits_msb(e), np.int32))
+    one = jnp.broadcast_to(jnp.asarray(ops.one()), x.shape)
+    x_inv = ops.conjugate(x)
+
+    def step(r, d):
+        r = ops.cyclotomic_square(r)
+        m = jnp.where(d > 0, x, x_inv)
+        rm = ops.mul(r, m)
+        r = jnp.where(d != 0, rm, r)
+        return r, None
+
+    r, _ = jax.lax.scan(step, one, digs)
     return r
 
 

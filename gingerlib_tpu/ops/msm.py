@@ -492,3 +492,195 @@ def fixed_base_msm_windowed(curve: SWCurveOps, table, scalar_digits,
         gy = oy.reshape(h, N, K, nd)
         gi = oi.reshape(h, N)
     return (gx[0], gy[0]), gi[0]
+
+
+# ---------------------------------------------------------------------------
+# hybrid Pippenger (production TPU path): digit-major end-to-end,
+# batched-affine adds for the big tree levels, fused projective adds
+# (zero inversions) below the cutoff
+# ---------------------------------------------------------------------------
+#
+# Round-3 on-chip profiling: each batched-affine stage pays a fixed
+# ~2.5 ms BEA root inversion + kernel-launch chain, which dominates once
+# the stage batch is small — the old msm_affine spent ~90% of its time in
+# ~370 such small stages.  An affine add saves ~13 Montgomery multiplies
+# over a unified projective add, so at ~80 M mul/s the affine form only
+# wins above ~28k lanes per stage.  msm_hybrid therefore:
+#   * keeps every point/node in digit-major [128 digit rows, lanes]
+#     layout end-to-end (no per-stage transposes),
+#   * windows are FLATTENED into the lane axis (window-major), so a chunk
+#     of `window_chunk` windows runs each tree/Fenwick level as ONE
+#     kernel launch over wc*N lanes,
+#   * levels with >= `affine_cutoff` output lanes use the batched-affine
+#     kernels (7 muls/add + one shared inversion); smaller levels, the
+#     whole Fenwick phase and the suffix fold use the fused unified
+#     projective kernel (~20 muls/add, NO inversion),
+#   * window sum via  sum_b b*S_b = B*Total - sum_b prefix_b  (one tiny
+#     negation instead of B per-bucket suffix subtractions).
+
+def _aff_to_proj_dm(curve, x, y, inf_row, one_dm):
+    m = inf_row[0:1, :] != 0
+    X = jnp.where(m, 0, x)
+    Y = jnp.where(m, jnp.broadcast_to(one_dm, y.shape), y)
+    Z = jnp.where(m, 0, jnp.broadcast_to(one_dm, y.shape))
+    return X, Y, Z
+
+
+def msm_hybrid(curve: SWCurveOps, xs, ys, scalar_digits,
+               c: int | None = None, nbits: int | None = None,
+               inf_mask=None, window_chunk: int | None = None,
+               affine_cutoff: int = 1 << 15):
+    from . import pallas_ec as PE
+    from ..fields import fp as fpmod
+
+    params = curve.fp
+    nd = params.n_digits
+    P = curve.scalar_field
+    if nbits is None:
+        nbits = P.modulus_bits
+    N = xs.shape[0]
+    if inf_mask is None:
+        inf_mask = jnp.zeros((N,), bool)
+    n2 = 1 << max(0, (N - 1).bit_length())
+    if n2 != N:
+        pad = n2 - N
+        xs = jnp.concatenate([xs, jnp.zeros((pad,) + xs.shape[1:],
+                                            xs.dtype)])
+        ys = jnp.concatenate([ys, jnp.zeros((pad,) + ys.shape[1:],
+                                            ys.dtype)])
+        scalar_digits = jnp.concatenate(
+            [scalar_digits, jnp.zeros((pad,) + scalar_digits.shape[1:],
+                                      scalar_digits.dtype)])
+        inf_mask = jnp.concatenate([inf_mask, jnp.ones((pad,), bool)])
+        N = n2
+    if c is None:
+        c = default_window(N)
+    W = -(-nbits // c)
+    L = N.bit_length() - 1            # log2(N) tree levels
+    windows = _window_digits(scalar_digits, c, nbits)  # [W, N]
+    B = (1 << c) - 1
+
+    if window_chunk is None:
+        window_chunk = int(min(8, max(1, (1 << 23) // max(N, 1))))
+    wc = window_chunk
+    Wp = -(-W // wc) * wc
+    if Wp != W:
+        windows = jnp.concatenate(
+            [windows, jnp.zeros((Wp - W, N), windows.dtype)], axis=0)
+    wchunks = windows.reshape(Wp // wc, wc, N)
+
+    xrow = xs.reshape(N, nd)
+    yrow = ys.reshape(N, nd)
+    one_dm = jnp.asarray(PE._mont_consts(params)[1])  # [128, 1]
+    interpret = jax.default_backend() != "tpu"
+
+    def padd(a3, b3):
+        return PE.proj_add_dm(curve, a3, b3, interpret=interpret)
+
+    def chunk_body(carry, keys):                      # keys [wc, N]
+        order = jax.vmap(jnp.argsort)(keys)           # [wc, N]
+        keys_s = jnp.take_along_axis(keys, order, axis=1)
+        flat = order.reshape(-1)
+        x = jnp.take(xrow, flat, axis=0)              # [wc*N, nd]
+        y = jnp.take(yrow, flat, axis=0)
+        infs = jnp.take(inf_mask, flat) | (keys_s.reshape(-1) == 0)
+        x = jnp.where(infs[:, None], 0, x)
+        y = jnp.where(infs[:, None], 0, y)
+        x_dm = PE._to_dm(x, wc * N)
+        y_dm = PE._to_dm(y, wc * N)
+        inf_row = jnp.broadcast_to(
+            infs.astype(jnp.uint32)[None, :], (8, wc * N))
+
+        # --- tree up-sweep (adjacent pairs stay within their window)
+        levels = [("aff", (x_dm, y_dm, inf_row))]
+        cur = ("aff", (x_dm, y_dm, inf_row))
+        cols = wc * N
+        while cols > wc:
+            kind, v = cur
+            if kind == "aff" and cols // 2 >= affine_cutoff:
+                even = tuple(t[:, 0::2] for t in v)
+                odd = tuple(t[:, 1::2] for t in v)
+                cur = ("aff", PE.batch_affine_add_dm(
+                    curve, even, odd, interpret=interpret))
+            else:
+                if kind == "aff":
+                    v = _aff_to_proj_dm(curve, *v, one_dm)
+                    cur = ("proj", v)
+                even = tuple(t[:, 0::2] for t in v)
+                odd = tuple(t[:, 1::2] for t in v)
+                cur = ("proj", padd(even, odd))
+            levels.append(cur)
+            cols //= 2
+
+        kindT, vT = cur
+        if kindT == "aff":
+            vT = _aff_to_proj_dm(curve, *vT, one_dm)
+        total3 = vT                                    # [128, wc] proj
+
+        # --- Fenwick prefixes at counts m (per window, buckets 1..B)
+        bvals = jnp.arange(1, B + 1, dtype=keys_s.dtype)
+        m = jax.vmap(lambda k: jnp.searchsorted(k, bvals, side="left"))(
+            keys_s).astype(jnp.uint32)                # [wc, B]
+        mf = m.reshape(-1)
+        win_id = (jnp.arange(wc * B, dtype=jnp.uint32) // B)
+        accX = jnp.zeros((128, wc * B), jnp.uint32)
+        accY = jnp.broadcast_to(one_dm, (128, wc * B))
+        accZ = jnp.zeros((128, wc * B), jnp.uint32)
+        acc = (accX, accY, accZ)
+        offset = jnp.zeros((wc * B,), jnp.uint32)
+        # level L (the per-window root) included: m = N (every element
+        # below bucket b) decomposes to the single root block
+        for l in range(L, -1, -1):
+            nodes_per_win = N >> l
+            bit = (mf >> l) & 1
+            idx_in = jnp.minimum(offset >> l, nodes_per_win - 1)
+            gidx = win_id * nodes_per_win + idx_in
+            kind, v = levels[l]
+            if kind == "aff":
+                node = _aff_to_proj_dm(
+                    curve, *(jnp.take(t, gidx, axis=1) for t in v), one_dm)
+            else:
+                node = tuple(jnp.take(t, gidx, axis=1) for t in v)
+            added = padd(acc, node)
+            mask = (bit == 1)[None, :]
+            acc = tuple(jnp.where(mask, a, b) for a, b in zip(added, acc))
+            offset = offset + (bit << l).astype(jnp.uint32)
+
+        # --- window sum = B*Total - sum_b prefix_b
+        # pad B -> 2^c with projective infinity, then c fold levels
+        accp = tuple(
+            t.reshape(128, wc, B) for t in acc)
+        padcol = (jnp.zeros((128, wc, 1), jnp.uint32),
+                  jnp.broadcast_to(one_dm[:, :, None], (128, wc, 1)),
+                  jnp.zeros((128, wc, 1), jnp.uint32))
+        accp = tuple(jnp.concatenate([a, p], axis=2).reshape(128, -1)
+                     for a, p in zip(accp, padcol))
+        cols = wc * (B + 1)
+        while cols > wc:
+            even = tuple(t[:, 0::2] for t in accp)
+            odd = tuple(t[:, 1::2] for t in accp)
+            accp = padd(even, odd)
+            cols //= 2
+        # tiny row-major tail: B*Total - sum
+        def dm_to_row(t3):
+            return tuple(PE._from_dm(t, wc, nd).reshape(wc, 1, nd)
+                         for t in t3)
+        tot_row = dm_to_row(total3)
+        sum_row = dm_to_row(accp)
+        btot = curve.mul_const(tot_row, B)
+        wsum = curve.add(btot, curve.neg(sum_row))
+        return carry, wsum
+
+    _, (wx, wy, wz) = jax.lax.scan(chunk_body, None, wchunks)
+    wx = wx.reshape((Wp,) + wx.shape[2:])[:W]
+    wy = wy.reshape((Wp,) + wy.shape[2:])[:W]
+    wz = wz.reshape((Wp,) + wz.shape[2:])[:W]
+
+    def fold(res, wsum):
+        for _ in range(c):
+            res = curve.double(res)
+        return curve.add(res, wsum), None
+
+    res, _ = jax.lax.scan(fold, curve.zero(()), (wx[::-1], wy[::-1],
+                                                 wz[::-1]))
+    return res

@@ -453,8 +453,13 @@ def _exit_call(k: int, nd: int, wdt: int, t: int, n_cols: int, tile: int,
 # ---------------------------------------------------------------------------
 
 def supports(pos_params) -> bool:
-    v = os.environ.get("GINGERLIB_FUSED_POSEIDON", "auto").lower()
-    if v in ("0", "false", "no", "off"):
+    # Default OFF: on real TPU v5e the fused RNS permutation measured
+    # 4.3x SLOWER than the XLA path with pallas mont muls (round-3
+    # smoke: 1204 vs 5185 perms/s at batch 4096) — the per-round RNS
+    # base extensions cost more than they save at Poseidon's tiny state
+    # width.  Opt in with GINGERLIB_FUSED_POSEIDON=1 for A/B runs.
+    v = os.environ.get("GINGERLIB_FUSED_POSEIDON", "0").lower()
+    if v in ("0", "false", "no", "off", "auto"):
         return False
     ctx = make_context(pos_params.field.modulus)
     return ctx.k <= B_ROW

@@ -128,3 +128,35 @@ def test_bls12_377_recursive_verifier_rejects(inner_bls):
     bits = vg.alloc_input_bits(cs, 78, nbits, "x")
     vg.check_verify(cs, vkg, [bits], proofg)
     assert cs.which_is_unsatisfied() is not None
+
+
+@pytest.mark.slow
+def test_outer_proof_over_mnt6753(inner):
+    """BASELINE config #6 completed: produce the OUTER MNT6-753 Groth16
+    proof of the MNT4-753-verifier circuit and verify it (host oracle,
+    pinned randomness) — full one-step cycle recursion
+    (nizk/groth16/mod.rs:517 scope + the actual outer prove)."""
+    from gingerlib_tpu.proofs.groth16_host import host_groth16_mnt6753
+
+    H4, params, proof = inner
+    vg = mnt4753_verifier_gadget()
+    cs = ConstraintSystem(PP.MNT4753_FQ)  # = MNT6-753 Fr
+    vkg = vg.alloc_vk(cs, _vk_host_dict(params))
+    proofg = vg.alloc_proof(cs, proof)
+    nbits = PP.MNT4753_FR.modulus_bits
+    bits = vg.alloc_input_bits(cs, 77, nbits, "x")
+    vg.check_verify(cs, vkg, [bits], proofg)
+    assert cs.which_is_unsatisfied() is None
+    print(f"outer circuit: {cs.num_constraints} constraints, "
+          f"{cs.num_variables} variables")
+
+    H6 = host_groth16_mnt6753()
+    outer_params = H6.setup(cs, alpha=135, beta=246, gamma=357, delta=468,
+                            t=579111)
+    outer_proof = H6.prove(cs, outer_params, r=8642, s=9753)
+    public = [cs.assignment()[i] for i in range(1, cs.num_inputs)]
+    assert H6.verify(outer_params, outer_proof, public)
+    # flip one public input bit -> reject
+    bad = list(public)
+    bad[0] = (bad[0] + 1) % PP.MNT4753_FQ.modulus
+    assert not H6.verify(outer_params, outer_proof, bad)

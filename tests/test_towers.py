@@ -133,3 +133,95 @@ def test_conjugate_norm(bls_towers):
     _, x = ext_rand(fq2, 3, seed=80)
     prod = np.asarray(jax.jit(fq2.mul)(x, fq2.conjugate(x)))
     assert (prod[:, 1, :] == 0).all()
+
+
+def _unitary(ops, n, seed):
+    """Random unitary elements u = z · conj(z)^-1 (conj(u) = u^-1)."""
+    _, z = ext_rand(ops, n, seed=seed)
+    return jax.jit(lambda z: ops.mul(z, ops.inv(ops.conjugate(z))))(z)
+
+
+@pytest.mark.parametrize("tower", ["mnt4", "mnt6", "bls12"])
+def test_cyclotomic_square_matches_generic(tower, mnt4_towers, mnt6_towers,
+                                           bls_towers):
+    F = {"mnt4": mnt4_towers[-1], "mnt6": mnt6_towers[-1],
+         "bls12": bls_towers[-1]}[tower]
+    if tower == "bls12":
+        # Granger-Scott needs the FULL cyclotomic subgroup
+        # z^(p^4 - p^2 + 1) = 1, i.e. the image of the final-exp easy part
+        # z^((p^6-1)(p^2+1)); unitarity alone is not enough for Fq12.
+        _, z = ext_rand(F, 2, seed=90)
+        v = jax.jit(lambda z: F.mul(F.conjugate(z), F.inv(z)))(z)
+        u = jax.jit(lambda v: F.mul(F.frob(v, 2), v))(v)
+    else:
+        # the quartic formula only needs norm 1 (conj == inverse)
+        u = _unitary(F, 2, seed=90)
+    cy = np.asarray(jax.jit(F.cyclotomic_square)(u))
+    ge = np.asarray(jax.jit(F.sqr)(u))
+    assert ext_to_host(F, cy) == ext_to_host(F, ge)
+
+
+def test_cyclotomic_pow_matches_generic(mnt4_towers):
+    from gingerlib_tpu.ops import limbs
+    F = mnt4_towers[-1]
+    u = _unitary(F, 2, seed=91)
+    e = 0xDEADBEEFCAFE12345
+    cy = np.asarray(jax.jit(
+        lambda u: T.ext_cyclotomic_pow_const(F, u, e))(u))
+    ge = np.asarray(jax.jit(lambda u: T.ext_pow_const(
+        F, u, limbs.bits_msb_first(e, e.bit_length())))(u))
+    assert ext_to_host(F, cy) == ext_to_host(F, ge)
+
+
+def test_mul_by_gen_matches_generic(mnt6_towers, bls_towers):
+    for F in (mnt6_towers[-1], bls_towers[2], bls_towers[-1]):
+        _, x = ext_rand(F, 3, seed=92)
+        sub = F.sf
+        K = sub.K if hasattr(sub, "K") else 1
+        gen_host = [0] * F.K
+        gen_host[K] = 1
+        gen = np.asarray(F.const(gen_host))
+        fast = np.asarray(jax.jit(F.mul_by_gen)(x))
+        dense = np.asarray(jax.jit(lambda x: F.mul(
+            x, jnp_broadcast(gen, x.shape)))(x))
+        assert ext_to_host(F, fast) == ext_to_host(F, dense)
+
+
+def jnp_broadcast(c, shape):
+    import jax.numpy as jnp
+    return jnp.broadcast_to(jnp.asarray(c), shape)
+
+
+def test_sparse_line_muls_match_dense(bls_towers):
+    import jax.numpy as jnp
+    _, fq2, fq6, fq12 = bls_towers
+    _, f = ext_rand(fq12, 2, seed=93)
+    _, cs = ext_rand(fq2, 6, seed=94)
+    c0, c1, c4 = cs[0], cs[1], cs[2]
+    z = jnp.zeros_like(c0)
+    b2 = lambda c: jnp.broadcast_to(c, (2,) + c.shape)
+    # M twist element: positions 0,1,4 of [1, v, v2, w, vw, v2w]
+    dense014 = jnp.concatenate([b2(c0), b2(c1), b2(z), b2(z), b2(c4), b2(z)],
+                               axis=-2)
+    sp = np.asarray(jax.jit(lambda f: fq12.mul_by_014(
+        f, b2(c0), b2(c1), b2(c4)))(f))
+    de = np.asarray(jax.jit(fq12.mul)(f, dense014))
+    assert ext_to_host(fq12, sp) == ext_to_host(fq12, de)
+    # D twist element: positions 0,3,4
+    c3 = cs[3]
+    dense034 = jnp.concatenate([b2(c0), b2(z), b2(z), b2(c3), b2(c4), b2(z)],
+                               axis=-2)
+    sp = np.asarray(jax.jit(lambda f: fq12.mul_by_034(
+        f, b2(c0), b2(c3), b2(c4)))(f))
+    de = np.asarray(jax.jit(fq12.mul)(f, dense034))
+    assert ext_to_host(fq12, sp) == ext_to_host(fq12, de)
+    # fq6 sparse helpers
+    _, x6 = ext_rand(fq6, 2, seed=95)
+    dense01 = jnp.concatenate([b2(c0), b2(c1), b2(z)], axis=-2)
+    sp = np.asarray(jax.jit(lambda x: fq6.mul_by_01(x, b2(c0), b2(c1)))(x6))
+    de = np.asarray(jax.jit(fq6.mul)(x6, dense01))
+    assert ext_to_host(fq6, sp) == ext_to_host(fq6, de)
+    dense1 = jnp.concatenate([b2(z), b2(c1), b2(z)], axis=-2)
+    sp = np.asarray(jax.jit(lambda x: fq6.mul_by_1(x, b2(c1)))(x6))
+    de = np.asarray(jax.jit(fq6.mul)(x6, dense1))
+    assert ext_to_host(fq6, sp) == ext_to_host(fq6, de)
