@@ -290,6 +290,55 @@ class QuadExtOps(_ExtBase):
         nc0 = fq6.add(self.mul_by_nonresidue(bb), aa)
         return self._join((nc0, nc1))
 
+    # --- sparse line multiplications (MNT towers) ---------------------------
+
+    def mul_by_023(self, x, a, c1):
+        """x · (c0 + c1·Y) with c0 = [a, 0], a ∈ Fp — the MNT4 affine-line
+        shape (fp4.rs:112-127): v0 degenerates to an Fp scale, so 8 base
+        mults instead of the dense Karatsuba's 9.
+
+        a: base-field digits [..., nd]; c1: subfield element [..., sK, nd].
+        NOTE the *device* Miller loop (curves/pairing_mnt.py) cannot use
+        this: its inversion-free projective lines carry a full subfield
+        factor in c0 (c0 = T²·y_P·M), so its f·line is a dense mul by
+        construction — this entry serves the host oracle, the in-circuit
+        pairing gadget and API parity with the reference.
+        """
+        S = self.sf
+        x0, x1 = self._split(x)
+        v0 = S.scale_fp(x0, a)
+        v1 = S.mul(x1, c1)
+        nc0 = S.add(v0, self.mul_by_nonresidue(v1))
+        # other.c0 + other.c1 = c1 with a added into its first Fp coeff
+        oc = jnp.concatenate(
+            [fpmod.add_mod(self.fp, c1[..., :1, :], a[..., None, :]),
+             c1[..., 1:, :]], axis=-2)
+        nc1 = S.sub(S.sub(S.mul(S.add(x0, x1), oc), v0), v1)
+        return self._join((nc0, nc1))
+
+    def mul_by_2345(self, x, a, c1):
+        """x · (c0 + c1·Y) with c0 = (0, 0, a)·= a·X², a ∈ Fp — the MNT6
+        affine-line shape (fp6_2over3.rs:110-123): v0 = x0·aX² is 3 base
+        mults (one folded a·nr), so 15 base mults instead of 18.
+
+        Same caveat as mul_by_023 re: the device Miller loop.
+        """
+        S = self.sf
+        fp = self.fp
+        x0, x1 = self._split(x)
+        b0, b1, b2 = S._split(x0)
+        t = fpmod.mont_mul(fp, a, S.nr[..., 0, :])      # a·nr, folded once
+        v0 = S._join((fpmod.mont_mul(fp, b1, t[..., None, :]),
+                      fpmod.mont_mul(fp, b2, t[..., None, :]),
+                      fpmod.mont_mul(fp, b0, a[..., None, :])))
+        v1 = S.mul(x1, c1)
+        nc0 = S.add(v0, self.mul_by_nonresidue(v1))
+        oc = jnp.concatenate(
+            [c1[..., :2, :],
+             fpmod.add_mod(fp, c1[..., 2:3, :], a[..., None, :])], axis=-2)
+        nc1 = S.sub(S.sub(S.mul(S.add(x0, x1), oc), v0), v1)
+        return self._join((nc0, nc1))
+
     def mul_by_034(self, x, c0, c3, c4):
         """x · (c0 + c3·W + c4·V·W), c* ∈ Fq2 — the D-twist BLS12 line
         (same Karatsuba shape as mul_by_014 with the roles flipped)."""

@@ -345,15 +345,23 @@ def msm_affine(curve: SWCurveOps, xs, ys, scalar_digits,
 
 def msm_bucketed(curve: SWCurveOps, xs, ys, scalar_digits, inf_mask=None,
                  c: int | None = None):
-    """Prover-facing MSM entry: batched-affine Pippenger on TPU (where
-    batch_affine_add runs as the fused Pallas kernels and one shared
-    inversion per add is cheap), projective Pippenger elsewhere — the
-    XLA form of the affine path embeds one BEA while-loop per add and
-    compiles catastrophically slowly on XLA:CPU.  Both pad N internally,
-    so repeated prover calls with ragged lengths reuse one compiled
-    graph per bucket."""
+    """Prover-facing MSM entry: digit-major hybrid Pippenger on TPU
+    (GINGERLIB_MSM_HYBRID, default on — batched-affine kernels for the
+    big tree levels, fused projective below the cutoff, one launch per
+    level across a whole window chunk), batched-affine Pippenger as the
+    TPU fallback rung, projective Pippenger elsewhere — the XLA form of
+    the affine path embeds one BEA while-loop per add and compiles
+    catastrophically slowly on XLA:CPU.  All pad N internally, so
+    repeated prover calls with ragged lengths reuse one compiled graph
+    per bucket."""
+    import os
     from .pallas_mont import use_pallas
+    from . import pallas_ec
     if use_pallas():
+        if os.environ.get("GINGERLIB_MSM_HYBRID", "1") != "0" \
+                and pallas_ec.supports(curve):
+            return msm_hybrid(curve, xs, ys, scalar_digits, c=c,
+                              inf_mask=inf_mask)
         return msm_affine(curve, xs, ys, scalar_digits, c=c,
                           inf_mask=inf_mask)
     n2 = 1 << max(0, (xs.shape[0] - 1).bit_length())

@@ -125,6 +125,31 @@ def _fixed_msm_affine(curve, base_scalar: int, scalars):
 @functools.lru_cache(maxsize=None)
 def _fixed_msm_fn(curve):
     import jax
+    from ..ops.pallas_mont import use_pallas
+
+    if use_pallas():
+        # production path (fixed_base.rs:15-79): one windowed table per
+        # curve built on first use, then one gather + tree-reduce per
+        # query call — ~95 adds/scalar instead of 753 double-adds.  TPU
+        # only: the table/tree builds lean on batch_affine_add, whose XLA
+        # form compiles catastrophically slowly on XLA:CPU.
+        w = 8
+        nbits = curve.scalar_field.modulus_bits
+        table_fn = maybe_jit(lambda base: msm_mod.fixed_base_table(
+            curve, base, w=w, nbits=nbits))
+        inner = maybe_jit(lambda tx, ty, tinf, kd: msm_mod.
+                          fixed_base_msm_windowed(
+                              curve, ((tx, ty), tinf), kd, w=w,
+                              nbits=nbits)[0])
+        state = {}
+
+        def run(base, kd):
+            if "t" not in state:
+                state["t"] = table_fn(base)
+            (tx, ty), tinf = state["t"]
+            return inner(tx, ty, tinf, kd)
+
+        return run
 
     def run(base, kd):
         pts = msm_mod.fixed_base_msm(curve, base, kd)
@@ -254,34 +279,62 @@ def witness_map(compiled: CompiledR1CS, z, d1: int = 0, d2: int = 0,
     return _witness_map_core(compiled, z, blind)
 
 
-def _witness_map_core(compiled: CompiledR1CS, z, blind):
+def _witness_map_core(compiled: CompiledR1CS, z, blind, mesh=None):
     """blind: None or (d1, d2, d3+d1·d2) Montgomery arrays —
-    h_extra(x) = d2·a(x) + d1·b(x) − (d3 + d1·d2)."""
+    h_extra(x) = d2·a(x) + d1·b(x) − (d3 + d1·d2).
+
+    mesh: optional Mesh with a "data" axis — all 7 FFT passes then run as
+    distributed two-step FFTs over the mesh (fft/domain.rs:360-416
+    parallel_fft analogue), bit-identical to the local path; the
+    cyclic-layout permutation between passes lowers to one all_to_all."""
     fr = compiled.field
     domain = Domain(fr, compiled.domain_size)
     m = domain.size
     nc = compiled.num_constraints
     ni = compiled.num_inputs
 
+    if mesh is not None and "data" in mesh.shape \
+            and mesh.shape["data"] > 1 and m % mesh.shape["data"] == 0 \
+            and m > mesh.shape["data"]:
+        from ..parallel import sharded
+        D = mesh.shape["data"]
+
+        def fft(x):
+            return sharded.sharded_fft(domain, mesh,
+                                       sharded.cyclic_layout(x, D))
+
+        def ifft(x):
+            return sharded.sharded_fft(domain, mesh,
+                                       sharded.cyclic_layout(x, D),
+                                       inverse=True)
+    else:
+        fft, ifft = domain.fft, domain.ifft
+
+    def coset_fft(x):
+        return fft(domain.distribute_powers(x, domain.coset_shift))
+
+    def coset_ifft(x):
+        return domain.distribute_powers(ifft(x), domain.coset_shift_inv)
+
     a_ev = eval_matrix(fr, compiled.a, z)   # [m, nd]
     b_ev = eval_matrix(fr, compiled.b, z)
     # input consistency rows (r1cs_to_qap.rs:117-119)
     a_ev = a_ev.at[nc:nc + ni].set(z[:ni])
 
-    a_poly = domain.ifft(a_ev)
-    b_poly = domain.ifft(b_ev)
+    a_poly = ifft(a_ev)
+    b_poly = ifft(b_ev)
 
-    a_cos = domain.coset_fft(a_poly)
-    b_cos = domain.coset_fft(b_poly)
+    a_cos = coset_fft(a_poly)
+    b_cos = coset_fft(b_poly)
     ab = domain.mul_in_evaluation_domain(a_cos, b_cos)
 
     c_ev = eval_matrix(fr, compiled.c, z)
-    c_poly = domain.ifft(c_ev)
-    c_cos = domain.coset_fft(c_poly)
+    c_poly = ifft(c_ev)
+    c_cos = coset_fft(c_poly)
 
     ab = fpmod.sub_mod(fr, ab, c_cos)
     ab = domain.divide_by_vanishing_poly_on_coset(ab)
-    h = domain.coset_ifft(ab)  # [m, nd]; top coefficient is zero
+    h = coset_ifft(ab)  # [m, nd]; top coefficient is zero
 
     if blind is not None:
         # h_extra(x) = d2·a(x) + d1·b(x) − d3 − d1·d2 (r1cs_to_qap.rs:124-132)
@@ -426,9 +479,11 @@ def _create_proof_device(engine, compiled, pa, z, rd, sd, rsd, blind,
      beta_g2, delta_g1, delta_g2) = pa
     ni = compiled.num_inputs
 
-    wm = _jit_unit(compiled, ("wm", blind is not None),
+    mesh_key = None if mesh is None else tuple(
+        d.id for d in mesh.devices.flat)
+    wm = _jit_unit(compiled, ("wm", blind is not None, mesh_key),
                    lambda: lambda z, blind:
-                   _witness_map_core(compiled, z, blind))
+                   _witness_map_core(compiled, z, blind, mesh=mesh))
     h = wm(z, blind)
 
     # scalars to standard form for MSM (prover.rs:241-267); fr is a frozen

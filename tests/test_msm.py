@@ -188,3 +188,32 @@ def test_fixed_base_windowed(setup):
         assert not bool(np.asarray(oinf[i])), i
         assert np.array_equal(np.asarray(ox[i]), np.asarray(ex[i])), i
         assert np.array_equal(np.asarray(oy[i]), np.asarray(ey[i])), i
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("cutoff", [1 << 15, 4])
+def test_msm_hybrid_matches_naive(setup, cutoff):
+    """digit-major hybrid Pippenger (the TPU prover path) vs the naive
+    oracle — all-projective (big cutoff) and affine-tree (tiny cutoff)
+    variants, incl. zero scalars, inf mask and duplicate points.
+
+    slow: Pallas interpret mode on XLA:CPU; the production-path check is
+    benchmarks/hybrid_check.py on the real chip."""
+    g1, xs, ys, _, _ = setup
+    r = g1.scalar_field
+    rng = random.Random(31)
+    N = xs.shape[0]
+    xs2 = jnp.concatenate([xs[:1], xs], axis=0)[: N]  # dup point -> dbl lane
+    ys2 = jnp.concatenate([ys[:1], ys], axis=0)[: N]
+    scalars = [rng.randrange(1 << 12) for _ in range(N)]
+    scalars[2] = 0
+    scalars[0] = scalars[1]  # same bucket for the duplicated point
+    sd = jnp.asarray(limbs.to_digits_batch(scalars, r.n_digits))
+    inf = np.zeros(N, bool)
+    inf[5] = True
+    res = jax.jit(lambda xs, ys, sd: M.msm_hybrid(
+        g1, xs, ys, sd, c=3, nbits=12, inf_mask=jnp.asarray(inf),
+        window_chunk=2, affine_cutoff=cutoff))(xs2, ys2, sd)
+    exp = jax.jit(lambda xs, ys, sd: M.msm_naive(
+        g1, xs, ys, sd, inf_mask=jnp.asarray(inf)))(xs2, ys2, sd)
+    assert bool(np.asarray(g1.eq(res, exp)))

@@ -117,3 +117,78 @@ def test_distributed_single_process_noop():
     assert mesh.shape["data"] == len(jax.devices())
     idx, cnt = distributed.process_info()
     assert (idx, cnt) == (0, 1)
+
+
+def test_sharded_witness_map_bit_identical():
+    """_witness_map_core(mesh) — all 7 FFT passes distributed — equals the
+    local witness map bit-for-bit (fft/domain.rs:360-416 analogue; VERDICT
+    r3 item 6).  Domain 64 over BLS12-377 Fr on the 8-device mesh."""
+    import random
+    from gingerlib_tpu import params as PP
+    from gingerlib_tpu.relations.r1cs import (
+        ConstraintSystem, LinearCombination, compile_r1cs)
+    from gingerlib_tpu.proofs.groth16 import _witness_map_core
+
+    fr = PP.BLS12_377_FR
+    rng = random.Random(13)
+    cs = ConstraintSystem(fr)
+    x = cs.alloc_input("x", 3)
+    prev = x
+    prev_val = 3
+    for i in range(40):  # chained squarings: domain pads to 64
+        nv = prev_val * prev_val % fr.modulus
+        nxt = cs.alloc(f"v{i}", nv)
+        cs.enforce(LinearCombination.of(prev), LinearCombination.of(prev),
+                   LinearCombination.of(nxt), f"sq{i}")
+        prev, prev_val = nxt, nv
+    assert cs.is_satisfied()
+    compiled = compile_r1cs(cs)
+    z = jnp.asarray(fp.fp_from_ints(fr, cs.assignment()))
+    local = np.asarray(jax.jit(
+        lambda z: _witness_map_core(compiled, z, None))(z))
+    mesh = make_mesh(8)
+    meshed = np.asarray(jax.jit(
+        lambda z: _witness_map_core(compiled, z, None, mesh=mesh))(z))
+    assert np.array_equal(local, meshed)
+
+
+@pytest.mark.slow
+def test_two_process_distributed():
+    """Exercise the REAL multi-host branch (distributed.py:30-73): two CPU
+    processes, jax.distributed over a localhost coordinator, one sharded
+    Poseidon batch over the process-spanning mesh; both workers must agree
+    with the single-process value (VERDICT r3 item 7)."""
+    import socket
+    import subprocess
+    import sys
+    import os as _os
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    worker = _os.path.join(_os.path.dirname(__file__), "multihost_worker.py")
+    procs = []
+    for pid in range(2):
+        env = dict(_os.environ)
+        env.update({
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+            "GINGERLIB_COORDINATOR": f"127.0.0.1:{port}",
+            "GINGERLIB_NUM_PROCESSES": "2",
+            "GINGERLIB_PROCESS_ID": str(pid),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, worker], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"worker failed:\n{err[-2000:]}"
+        outs.append([l for l in out.splitlines() if l.startswith("DIGEST")])
+    assert outs[0] and outs[0] == outs[1], outs

@@ -225,3 +225,38 @@ def test_sparse_line_muls_match_dense(bls_towers):
     sp = np.asarray(jax.jit(lambda x: fq6.mul_by_1(x, b2(c1)))(x6))
     de = np.asarray(jax.jit(fq6.mul)(x6, dense1))
     assert ext_to_host(fq6, sp) == ext_to_host(fq6, de)
+
+
+def test_mnt_sparse_line_muls_match_dense(mnt4_towers, mnt6_towers):
+    """mul_by_023 (fp4.rs:112-127) / mul_by_2345 (fp6_2over3.rs:110-123):
+    the MNT affine-line shapes — c0 sparse in one Fp coefficient."""
+    import random as _random
+    import jax.numpy as jnp
+    from gingerlib_tpu.fields import fp as fpmod
+    # MNT4: Fq4 = quad(Fq2), line = ([a, 0], c1)
+    _, fq2, fq4 = mnt4_towers
+    _, f = ext_rand(fq4, 2, seed=101)
+    _, c1s = ext_rand(fq2, 2, seed=102)
+    rng = _random.Random(103)
+    a_host = [rng.randrange(fq4.fp.modulus) for _ in range(2)]
+    a = jnp.asarray(np.stack([fpmod.fp_from_int(fq4.fp, v)
+                              for v in a_host]))
+    z = jnp.zeros_like(c1s[..., :1, :])
+    dense = jnp.concatenate([a[..., None, :], z, c1s], axis=-2)
+    sp = np.asarray(jax.jit(lambda f, a, c1: fq4.mul_by_023(f, a, c1))(
+        f, a, c1s))
+    de = np.asarray(jax.jit(fq4.mul)(f, dense))
+    assert ext_to_host(fq4, sp) == ext_to_host(fq4, de)
+    # MNT6: Fq6 = quad(Fq3), line = ((0, 0, a), c1)
+    _, fq3, fq6 = mnt6_towers
+    _, f6 = ext_rand(fq6, 2, seed=104)
+    _, c1s6 = ext_rand(fq3, 2, seed=105)
+    a_host = [rng.randrange(fq6.fp.modulus) for _ in range(2)]
+    a6 = jnp.asarray(np.stack([fpmod.fp_from_int(fq6.fp, v)
+                               for v in a_host]))
+    z6 = jnp.zeros_like(c1s6[..., :1, :])
+    dense6 = jnp.concatenate([z6, z6, a6[..., None, :], c1s6], axis=-2)
+    sp = np.asarray(jax.jit(lambda f, a, c1: fq6.mul_by_2345(f, a, c1))(
+        f6, a6, c1s6))
+    de = np.asarray(jax.jit(fq6.mul)(f6, dense6))
+    assert ext_to_host(fq6, sp) == ext_to_host(fq6, de)
