@@ -140,6 +140,50 @@ def bench_ec(log2n):
             print(f"ec_add[{name}] FAILED: {type(e).__name__}: {e}")
 
 
+def bench_pairing(log2b):
+    """Full pairing (Miller + final exp), batched over 2^log2b pairs and
+    chained K times (the GT output is folded back into the G1 x-coordinate
+    through a runtime-zero mask so XLA cannot break the dependency).
+    Measures the sparse-line-c0 Miller loop (pairing_mnt._line_c0)."""
+    from gingerlib_tpu.curves import instances as CI
+    from gingerlib_tpu.fields import fp as fpmod
+    from gingerlib_tpu.ops import limbs
+
+    b = 1 << log2b
+    for name, eng_fn in [("mnt4753", CI.mnt4753_pairing),
+                         ("mnt6753", CI.mnt6753_pairing)]:
+        eng = eng_fn()
+        g1, g2 = eng.g1, eng.g2
+        fr = g1.scalar_field
+        ks = list(range(3, 3 + b))
+        kd = jnp.asarray(limbs.to_digits_batch(ks, fr.n_digits))
+        p_aff = g1.to_affine(jax.jit(g1.mul_scalar_digits)(
+            g1.generator((b,)), kd))
+        q_aff = g2.to_affine(jax.jit(g2.mul_scalar_digits)(
+            g2.generator((b,)), kd))
+        px, py = (jnp.asarray(fetch(v)) for v in p_aff)
+        qx, qy = (jnp.asarray(fetch(v)) for v in q_aff)
+        zero = jnp.uint32(0)
+
+        def make(k):
+            def run(px, py, qx, qy, zero):
+                def step(carry, _):
+                    px_, gt = carry
+                    gt = eng.pairing((px_, py), (qx, qy))
+                    # runtime-zero data dependency: px ^= (gt[0,0] & 0)
+                    d = (gt[..., 0, 0] & zero)[..., None, None]
+                    return (px_ ^ d, gt), None
+                gt0 = jnp.zeros((b, eng.fqk.K, eng.fp.n_digits), jnp.uint32)
+                (_, gt), _ = jax.lax.scan(step, (px, gt0), None, length=k)
+                return gt
+            return run
+        try:
+            measure(f"pairing[{name}] batch=2^{log2b}", make,
+                    (px, py, qx, qy, zero), b)
+        except Exception as e:
+            print(f"pairing[{name}] FAILED: {type(e).__name__}: {e}")
+
+
 def bench_poseidon(log2n):
     from gingerlib_tpu.primitives.poseidon import PoseidonParams, PoseidonHash
     from gingerlib_tpu.fields import fp as fpmod
@@ -175,3 +219,7 @@ if __name__ == "__main__":
         bench_ec(log2n)
     if which in ("poseidon", "all"):
         bench_poseidon(log2n)
+    if which == "pairing":
+        # not in "all": the Miller-loop compile is minutes; run explicitly
+        # as  python benchmarks/chained.py pairing <log2_batch>
+        bench_pairing(min(log2n, 6))

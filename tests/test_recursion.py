@@ -62,6 +62,16 @@ def test_recursive_verifier_gadget_satisfiable(inner):
     assert bad is None, f"unsatisfied at: {bad}"
     print(f"verifier circuit: {cs.num_constraints} constraints, "
           f"{cs.num_variables} variables")
+    # Pinned size (VERDICT r3 item 9): any regression here makes the outer
+    # proof proportionally slower.  Structure mirrors the reference gadget
+    # (nizk/groth16/mod.rs:106-184): ~753·5 for the one-input g_ic
+    # mul_bits accumulation (double+add+select per bit), ~2·753·13 for the
+    # in-circuit G2 prepare γ-ladder (per-step Fq2 slope inverse + mults,
+    # groups/.../mnt/mnt4/mod.rs:114-229), and ~247 WNAF steps × (Fq4
+    # square + up to 2×3-pair sparse line muls + EC gadget step) for the
+    # Miller loop + cyclotomic final exp.  The reference prints no count;
+    # this pin is our own regression anchor.
+    assert cs.num_constraints == 61407, cs.num_constraints
 
 
 @pytest.mark.slow
@@ -114,6 +124,11 @@ def test_bls12_377_recursive_verifier_gadget(inner_bls):
     bad = cs.which_is_unsatisfied()
     assert bad is None, f"unsatisfied at: {bad}"
     print(f"bls12_377 verifier circuit: {cs.num_constraints} constraints")
+    # Pinned size (VERDICT r3 item 9): 253-bit scalar field + X-based BLS12
+    # loop -> smaller than the MNT4-753 circuit (61407); dominated by the
+    # one-input mul_bits, the in-circuit G2 prepare and the 64-step Miller
+    # loop over Fq12 gadgets (nizk/groth16/mod.rs:431 scope).
+    assert cs.num_constraints == 42006, cs.num_constraints
 
 
 @pytest.mark.slow
