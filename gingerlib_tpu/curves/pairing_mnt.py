@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import limbs
+from ..fields import fp as fpmod
 from ..fields import towers as T
 from .sw import SWCurveOps
 
@@ -69,6 +70,38 @@ class MNTPairing:
         self.twist = jnp.asarray(S.const(t_comps))
         self.twist_sq = S.mul(self.twist, self.twist)
         self.twist_a = g2.a  # a' = TWIST_COEFF_A (same as G2 COEFF_A)
+        # sparse structure of T²: quad sub -> X² = nr ∈ Fp (twist_sq =
+        # [nr, 0]); cubic sub -> X² (twist_sq = (0,0,1)).  Verified
+        # numerically here; the Miller loop then builds each line's
+        # c0 = T²·y_P·M with 2 (quad) / 3 (cubic) base mults instead of a
+        # dense 3/6-mult subfield mul — the device-side analogue of the
+        # reference's mul_by_023/mul_by_2345 line sparsity (fp4.rs:112,
+        # fp6_2over3.rs:110; the dense f·line mul itself cannot be
+        # sparsified here because the inversion-free projective line's c0
+        # carries the full subfield factor M).
+        ts = np.asarray(self.twist_sq)
+        if S.K == 2:
+            exp = np.concatenate([np.asarray(S.nr),
+                                  np.zeros_like(np.asarray(S.nr))], axis=-2)
+        else:
+            z = np.zeros((1, self.fp.n_digits), np.uint32)
+            exp = np.concatenate([z, z, np.asarray(S.sf.one())], axis=-2)
+        self._tw2_sparse = bool(np.array_equal(ts, exp))
+
+    def _line_c0(self, M, y, ynr):
+        """T²·y_P·M from precomputed y_P and y_P·nr digit rows."""
+        S = self.sub
+        if not self._tw2_sparse:
+            return S.mul(S.scale_fp(jnp.broadcast_to(
+                self.twist_sq, M.shape[:-2] + self.twist_sq.shape[-2:]), y),
+                M)
+        if S.K == 2:
+            return S.scale_fp(M, ynr)
+        m0, m1, m2 = S._split(M)
+        fp = self.fp
+        return S._join((fpmod.mont_mul(fp, m1, ynr[..., None, :]),
+                        fpmod.mont_mul(fp, m2, ynr[..., None, :]),
+                        fpmod.mont_mul(fp, m0, y[..., None, :])))
 
     # --- helpers ---
 
@@ -92,10 +125,11 @@ class MNTPairing:
         x2, y2 = q_affine
         batch = x2.shape[:-2]
 
-        # py_twist_squared = T² · y_P  (mnt4/mod.rs:92)
-        py_tw2 = S.scale_fp(jnp.broadcast_to(self.twist_sq,
-                                             batch + self.twist_sq.shape[-2:]),
-                            yp[..., 0, :])
+        # py_twist_squared = T² · y_P  (mnt4/mod.rs:92): kept factored as
+        # (y_P, y_P·nr) digit rows — _line_c0 then applies T²·y_P to the
+        # line's subfield factor with 2 (quad) / 3 (cubic) base mults
+        y_row = yp[..., 0, :]
+        ynr = fpmod.mont_mul(self.fp, y_row, self.sub.nr[0])
 
         one_k = jnp.broadcast_to(jnp.asarray(F.one()),
                                  batch + (F.K, self.fp.n_digits))
@@ -118,7 +152,7 @@ class MNTPairing:
             Y2Z = S.double(S.mul(YY, Z))
             c1 = S.sub(S.sub(NX, NZT), Y2Z)
             M = S.double(S.mul(S.mul(Y, Z), Z))       # 2YZ²
-            c0 = S.mul(py_tw2, M)
+            c0 = self._line_c0(M, y_row, ynr)
             line_dbl = self._fqk(c0, c1)
 
             # ---- point doubling (homogeneous, a = twist_a) ----
@@ -140,7 +174,7 @@ class MNTPairing:
             c1a_pos = S.sub(S.sub(t1, t2), y2D)
             c1a_neg = S.add(S.sub(t1, t2), y2D)
             c1a = jnp.where(neg, c1a_neg, c1a_pos)
-            c0a = S.mul(py_tw2, D)
+            c0a = self._line_c0(D, y_row, ynr)
             line_add = self._fqk(c0a, c1a)
 
             f_add = F.mul(f, line_add)

@@ -210,3 +210,34 @@ def test_device_pairing_matches_reference_anchor(name):
     got = T.ext_to_ints(eng.fqk, np.asarray(out).reshape(
         eng.fqk.K, eng.fp.n_digits))
     assert got == gt
+
+
+def test_line_c0_matches_dense_form():
+    """_line_c0(M, y, y·nr) must equal the dense T²·y_P·M it replaced
+    (sparse-c0 construction, fp4.rs:112 / fp6_2over3.rs:110 analogue) —
+    for the quad (MNT4-753), cubic (MNT6-753) and legacy (MNT6-298)
+    subfields."""
+    import random
+    import jax.numpy as jnp
+    from gingerlib_tpu.fields import fp as fpmod
+    from helpers import ext_rand
+
+    for eng_fn in (CI.mnt4753_pairing, CI.mnt6753_pairing,
+                   CI.mnt6298_pairing):
+        eng = eng_fn()
+        S = eng.sub
+        assert eng._tw2_sparse, eng.name
+        rng = random.Random(41)
+        _, M = ext_rand(S, 3, seed=42)
+        ys = [rng.randrange(eng.fp.modulus) for _ in range(3)]
+        y = jnp.asarray(np.stack([fpmod.fp_from_int(eng.fp, v)
+                                  for v in ys]))
+        def run(M, y):
+            ynr = fpmod.mont_mul(eng.fp, y, S.nr[0])
+            sparse = eng._line_c0(M, y, ynr)
+            dense = S.mul(S.scale_fp(jnp.broadcast_to(
+                eng.twist_sq, M.shape[:-2] + eng.twist_sq.shape[-2:]), y),
+                M)
+            return sparse, dense
+        sp, de = jax.jit(run)(M, y)
+        assert np.array_equal(np.asarray(sp), np.asarray(de)), eng.name
