@@ -38,27 +38,62 @@ class FieldBasedMerkleTree:
         one = jnp.asarray(self.F.one_mont)[None, None, :]
         return self.h.evaluate(one)[0]  # H(one)
 
+    # levels with >= 2*_FIXED_BATCH leaves hash through ONE jitted
+    # fixed-batch 2->1 graph (host-side chunk loop, small levels padded
+    # up): a 2^16-leaf build is 1 compile instead of 17 per-level shapes —
+    # the remote-compile latency of the tunnel made the naive form
+    # uncompilable inside any bench budget.  Results are positionally
+    # identical to the per-level path (pad lanes are discarded).
+    _FIXED_BATCH = 1 << 12
+
+    def _hash_fixed(self):
+        fn = getattr(self, "_hash_fixed_fn", None)
+        if fn is None:
+            fn = jax.jit(lambda l, r: self.h.hash_2_1(l, r))
+            self._hash_fixed_fn = fn
+        return fn
+
+    def _level_up(self, cur, use_fixed: bool):
+        l, r = cur[0::2], cur[1::2]
+        m = l.shape[0]
+        if not use_fixed:
+            return self.h.hash_2_1(l, r)
+        B = self._FIXED_BATCH
+        fn = self._hash_fixed()
+        if m < B:
+            pad = B - m
+            lp = jnp.concatenate([l, jnp.zeros((pad,) + l.shape[1:],
+                                               l.dtype)])
+            rp = jnp.concatenate([r, jnp.zeros((pad,) + r.shape[1:],
+                                               r.dtype)])
+            return fn(lp, rp)[:m]
+        outs = [fn(l[s:s + B], r[s:s + B]) for s in range(0, m, B)]
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
     def build(self, leaves):
         """leaves: [N, nd] Montgomery field elements."""
         n = leaves.shape[0]
         n2 = 1 << max(0, (n - 1).bit_length())
-        empty = self.empty_leaf()
         if n2 != n:
-            pad = jnp.broadcast_to(empty, (n2 - n, leaves.shape[-1]))
+            pad = jnp.broadcast_to(self.empty_leaf(),
+                                   (n2 - n, leaves.shape[-1]))
             leaves = jnp.concatenate([leaves, pad], axis=0)
         tree_height = n2.bit_length()  # levels incl. leaf level
         if tree_height > self.height:
             raise ValueError("tree exceeds configured HEIGHT")
+        use_fixed = n2 >= 2 * self._FIXED_BATCH
 
         levels = [leaves]
         cur = leaves
         while cur.shape[0] > 1:
-            cur = self.h.hash_2_1(cur[0::2], cur[1::2])
+            cur = self._level_up(cur, use_fixed)
             levels.append(cur)
         root = cur[0]
 
         padding = []
         cur_h = tree_height
+        if cur_h < self.height:
+            empty = self.empty_leaf()
         while cur_h < self.height:
             root = self.h.hash_2_1(root[None], empty[None])[0]
             padding.append(root)

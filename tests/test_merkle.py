@@ -56,3 +56,19 @@ def test_non_pow2_leaf_padding():
     t3 = FieldBasedMerkleTree(h, height=4).build(l3)
     t4 = FieldBasedMerkleTree(h, height=4).build(l4)
     assert np.array_equal(np.asarray(t3.root()), np.asarray(t4.root()))
+
+
+def test_fixed_batch_build_matches_per_level():
+    """The chunked fixed-batch build (one compiled hash graph) must produce
+    the same tree as the per-level path (merkle.py _level_up)."""
+    import jax.numpy as jnp
+    h = PoseidonHash(PoseidonParams.mnt4753())
+    leaves = jnp.asarray(fp.fp_from_ints(h.F, list(range(1, 65))))
+    t_legacy = FieldBasedMerkleTree(h, 7).build(leaves)
+    t_fixed = FieldBasedMerkleTree(h, 7)
+    t_fixed._FIXED_BATCH = 8  # force the chunked path at 64 leaves
+    t_fixed.build(leaves)
+    assert np.array_equal(np.asarray(t_legacy.root()),
+                          np.asarray(t_fixed.root()))
+    for a, b in zip(t_legacy.levels, t_fixed.levels):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
