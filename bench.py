@@ -3,25 +3,37 @@
 
 Default (BENCH_METRIC=all) runs the four BASELINE configs, each in its own
 subprocess under a hard per-metric wall-clock cap, headline MSM first, and
-prints ONE JSON line per metric the moment it is ready:
+prints ONE JSON line per rung the moment it is ready:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Budgeting (the round-3 lesson: a timed-out 2^20 is worth strictly less
-than a measured 2^16):
-  BENCH_BUDGET_S   total wall budget for `all` (default 1200 s)
-  per-metric caps  msm 480 s, poseidon 180 s, fft 180 s, groth16 320 s
-  BENCH_MSM_LOG2   default 16 (2^20 opt-in once 2^16 is healthy)
+Round-5 design rule (the rounds 3/4 lesson — a timed-out 2^20 run or a
+cold-cache compile is worth strictly less than a measured small size):
+every metric emits a GUARANTEED small-size line first, from a graph whose
+cold compile is a small fraction of the cap, and only then upgrades to the
+full BASELINE size with whatever budget remains.  A cold compile cache
+degrades the output to small-size numbers — never to nothing.  Later lines
+supersede earlier ones for the same family (the full-size line is emitted
+last on success).
+
+Budgeting:
+  BENCH_BUDGET_S   total wall budget for `all` (default 1140 s)
+  per-metric caps  msm 420 s, poseidon 170 s, fft 150 s, groth16 300 s
+  BENCH_MSM_LOG2   headline MSM size (default 16; 2^20 runs additionally
+                   when BENCH_MSM_LOG2=20)
 
 vs_baseline compares against the reference's CPU throughput; the reference
 publishes no numbers (BASELINE.md), so fixed estimates of a modern
 multicore CPU running ginger-lib's rayon paths are used (provenance in
 BASELINE.md).
 
-MSM pipeline: points are generated on-device as [k_i]G for random 32-bit
-k_i via the windowed fixed-base table (chunked so the generator never
-holds a full-size intermediate), then one digit-major hybrid Pippenger MSM
-(ops/msm.msm_bucketed: hybrid -> batched-affine -> projective fallback
-ladder) over full-range random scalars.
+MSM pipeline: points are generated HOST-side (P_i = P_{i-1} + G affine
+int math — no device generator graph to compile cold) and cached to npz;
+scalars are full-range random.  The guaranteed rung runs the scan-lean
+projective Pippenger at 2^12; the headline rung runs the digit-major
+hybrid Pippenger (ops/msm.msm_bucketed ladder) at 2^BENCH_MSM_LOG2.
+Harness shape: snark-scalability examples
+(/root/reference/proof-systems/src/groth16/examples/snark-scalability/
+groth16.rs:54-60).
 """
 
 import json
@@ -29,13 +41,18 @@ import os
 import sys
 import time
 
-N_LOG2 = int(os.environ.get("BENCH_MSM_LOG2", "16"))
-GEN_CHUNK_LOG2 = int(os.environ.get("BENCH_GEN_CHUNK_LOG2", "14"))
 CPU_BASELINE_PPS = 6.0e4
 # reference Groth16 prover on the BASELINE toy config (~2^10 constraints,
 # MNT4-753): ~6 MSMs of ~2^10 753-bit points + 7 FFTs on a modern multicore
 # CPU with rayon — estimated ~1 proof/s (no published numbers; BASELINE.md)
 CPU_BASELINE_PROOFS = 1.0
+_T0 = time.monotonic()
+
+
+def _deadline() -> float:
+    """Seconds remaining before this metric subprocess is killed."""
+    cap = float(os.environ.get("BENCH_METRIC_CAP_S", "1e9"))
+    return cap - (time.monotonic() - _T0)
 
 
 def _setup_jax():
@@ -56,270 +73,347 @@ def emit(obj):
     print(json.dumps(obj), flush=True)
 
 
-def main():
+def note(name, msg):
+    print(f"[bench {name} +{time.monotonic() - _T0:.0f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+# ---------------------------------------------------------------------------
+# host-side MSM inputs (no device compiles): P_i = P_{i-1} + G ints
+# ---------------------------------------------------------------------------
+
+def _host_points(g1, n_log2):
+    """n distinct G1 affine points by incremental host addition, cached."""
+    import numpy as np
+    from gingerlib_tpu.fields import fp as fpmod
+    path = f"/tmp/gingerlib_bench_hostpts_{g1.name}_{n_log2}.npz"
+    if os.path.exists(path):
+        z = np.load(path)
+        return z["xs"], z["ys"]
+    p = g1.fp.modulus
+    gx, gy = g1.generator_host
+    n = 1 << n_log2
+    xs_i = np.empty((n,), object)
+    ys_i = np.empty((n,), object)
+    x, y = gx % p, gy % p
+    for i in range(n):
+        xs_i[i], ys_i[i] = x, y
+        if i + 1 == n:
+            break
+        # chord/tangent add with G (x == gx only at i = 0: doubling)
+        lam = ((y - gy) * pow(x - gx, -1, p) % p if x != gx
+               else (3 * x * x + g1.a_host) * pow(2 * y, -1, p) % p)
+        x2 = (lam * lam - x - gx) % p
+        y2 = (lam * (x - x2) - y) % p
+        x, y = x2, y2
+    digs = fpmod.fp_from_ints(g1.fp, list(xs_i))
+    xs = digs.reshape(n, 1, g1.fp.n_digits)
+    ys = fpmod.fp_from_ints(g1.fp, list(ys_i)).reshape(n, 1,
+                                                       g1.fp.n_digits)
+    np.savez(path, xs=xs, ys=ys)
+    return xs, ys
+
+
+def _rand_scalar_digits(fr, n, seed=4243):
+    import numpy as np
+    import jax.numpy as jnp
+    from gingerlib_tpu.ops import limbs
+    srng = np.random.RandomState(seed)
+    nbytes = (fr.modulus.bit_length() + 7) // 8 + 10
+    scalars = [int.from_bytes(srng.bytes(nbytes), "little") % fr.modulus
+               for _ in range(n)]
+    return jnp.asarray(limbs.to_digits_batch(scalars, fr.n_digits))
+
+
+def _time_reps(run, fetch, dt_first):
+    """Steady-state seconds/op given the first (post-compile) run time."""
+    reps = 1 if dt_first > 45 else 3
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(reps):
+        out = run()
+    fetch(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def main_msm():
     jax = _setup_jax()
     import jax.numpy as jnp
     import numpy as np
     from gingerlib_tpu.curves import instances as CI
-    from gingerlib_tpu.ops import msm as msm_mod, limbs
+    from gingerlib_tpu.ops import msm as msm_mod
 
     g1 = CI.mnt4753_g1()
     fr = g1.scalar_field
-    n = 1 << N_LOG2
-    chunk = 1 << min(GEN_CHUNK_LOG2, N_LOG2)
 
     def fetch(x):
         # block_until_ready does NOT block on the tunneled TPU backend;
         # a device->host fetch is the only reliable completion barrier
         return np.asarray(x)
 
-    # No upfront kernel probe (the round-3 RNS probe compile alone blew
-    # the metric's time cap): the production hybrid MSM path uses the
-    # positional fused kernels only, and the run ladder below drops a
-    # rung on any Mosaic rejection.  RNS EC stays opt-in via
-    # GINGERLIB_EC_RNS=1.
-    from gingerlib_tpu.ops import pallas_ec
+    # ---- rung A (guaranteed): scan-form double-and-add at 2^10 ----
+    # msm_naive is the only MSM whose graph is compile-small through the
+    # remote AOT helper (one lax.scan body + log2(n) tree-reduce adds):
+    # measured cold compiles on this tunnel — naive 2^10 ~1-2 min,
+    # projective Pippenger 2^12 741 s, hybrid 2^16 ~20 min.  A cold cache
+    # therefore degrades msm to this rung's (low) number instead of no
+    # line at all; the full-size rungs below supersede it when they land.
+    n_a = 1 << 10
+    note("msm", "rung A: host point gen 2^10")
+    xs_np, ys_np = _host_points(g1, 10)
+    xs, ys = jnp.asarray(xs_np), jnp.asarray(ys_np)
+    sd = _rand_scalar_digits(fr, n_a)
+    run_a = jax.jit(lambda xs, ys, sd: msm_mod.msm_naive(g1, xs, ys, sd))
+    note("msm", "rung A: compile+run")
+    t0 = time.perf_counter()
+    fetch(run_a(xs, ys, sd)[0])
+    note("msm", f"rung A first pass {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    fetch(run_a(xs, ys, sd)[0])
+    dt = _time_reps(lambda: run_a(xs, ys, sd), lambda o: fetch(o[0]),
+                    time.perf_counter() - t0)
+    emit({"metric": "msm_points_per_sec_2e10_g1_mnt4753",
+          "value": round(n_a / dt, 2), "unit": "points/s",
+          "vs_baseline": round(n_a / dt / CPU_BASELINE_PPS, 4),
+          "rung": "scan_naive"})
 
-    t_start = time.perf_counter()
+    # ---- rung A2: projective Pippenger at 2^12 ----
+    if _deadline() > float(os.environ.get("BENCH_MSM_MIN_A2_S", "120")):
+        n_a2 = 1 << 12
+        xs_np, ys_np = _host_points(g1, 12)
+        xs, ys = jnp.asarray(xs_np), jnp.asarray(ys_np)
+        sd = _rand_scalar_digits(fr, n_a2)
+        run_a2 = jax.jit(lambda xs, ys, sd: msm_mod.msm(g1, xs, ys, sd))
+        note("msm", "rung A2: compile+run")
+        t0 = time.perf_counter()
+        fetch(run_a2(xs, ys, sd)[0])
+        note("msm", f"rung A2 first pass {time.perf_counter() - t0:.1f}s")
+        t0 = time.perf_counter()
+        fetch(run_a2(xs, ys, sd)[0])
+        dt = _time_reps(lambda: run_a2(xs, ys, sd), lambda o: fetch(o[0]),
+                        time.perf_counter() - t0)
+        emit({"metric": "msm_points_per_sec_2e12_g1_mnt4753",
+              "value": round(n_a2 / dt, 2), "unit": "points/s",
+              "vs_baseline": round(n_a2 / dt / CPU_BASELINE_PPS, 4),
+              "rung": "projective"})
 
-    def note(msg):
-        print(f"[bench msm +{time.perf_counter() - t_start:.0f}s] {msg}",
-              file=sys.stderr, flush=True)
+    # ---- rung B (headline): hybrid Pippenger at 2^BENCH_MSM_LOG2 ----
+    n_log2 = int(os.environ.get("BENCH_MSM_LOG2", "16"))
+    if _deadline() < float(os.environ.get("BENCH_MSM_MIN_B_S", "90")):
+        note("msm", "skipping headline rung: budget exhausted")
+        return
+    n = 1 << n_log2
+    note("msm", f"rung B: host point gen 2^{n_log2}")
+    xs_np, ys_np = _host_points(g1, n_log2)
+    xs, ys = jnp.asarray(xs_np), jnp.asarray(ys_np)
+    sd = _rand_scalar_digits(fr, n)
 
-    # on-device point generation: [k]G, k random in [1, 2^32); the point
-    # set is deterministic (seed 42), so cache it on disk across runs
-    cache_path = f"/tmp/gingerlib_bench_pts_{g1.name}_{N_LOG2}.npz"
-    if os.path.exists(cache_path):
-        z = np.load(cache_path)
-        xs_np, ys_np = z["xs"], z["ys"]
-    else:
-        gen_bits = 32
-        rng = np.random.RandomState(42)
-        table = jax.jit(lambda: msm_mod.fixed_base_table(
-            g1, g1.generator_affine, w=8, nbits=gen_bits))()
-        gen = jax.jit(lambda kd: msm_mod.fixed_base_msm_windowed(
-            g1, table, kd, w=8, nbits=gen_bits))
-        xs_np = np.empty((n, 1, fr.n_digits), np.uint32)
-        ys_np = np.empty((n, 1, fr.n_digits), np.uint32)
-        for s in range(0, n, chunk):
-            ks = rng.randint(1, 1 << 31, size=chunk).astype(np.int64) * 2 + 1
-            kd = jnp.asarray(limbs.to_digits_batch(
-                [int(k) for k in ks], fr.n_digits))
-            (cx, cy), _ = gen(kd)
-            xs_np[s:s + chunk] = fetch(cx)
-            ys_np[s:s + chunk] = fetch(cy)
-        np.savez(cache_path, xs=xs_np, ys=ys_np)
-    xs = jnp.asarray(xs_np)
-    ys = jnp.asarray(ys_np)
-
-    # scalars from a dedicated stream so the cache-hit path draws the
-    # same values as the cache-miss path (round-3 bug: `rng` only existed
-    # on a cache miss)
-    srng = np.random.RandomState(4243)
-    scalars = [int.from_bytes(srng.bytes(94), "little") % fr.modulus
-               for _ in range(n)]
-    sd = jnp.asarray(limbs.to_digits_batch(scalars, fr.n_digits))
-
-    # compile + first run, with a full-pipeline fallback ladder: the tiny
-    # probe above can pass while the full window pipeline still trips a
-    # Mosaic limit, so each failure drops one kernel rung and re-traces
     def make_run():
         return jax.jit(
             lambda xs, ys, sd: msm_mod.msm_bucketed(g1, xs, ys, sd))
 
     run = make_run()
+    # full-pipeline fallback ladder: a Mosaic rejection drops one kernel
+    # rung and re-traces
     for fallback in ("GINGERLIB_MSM_HYBRID", "GINGERLIB_EC_RNS",
                      "GINGERLIB_FUSED_EC", "GINGERLIB_PALLAS", None):
         try:
-            out = run(xs, ys, sd)
-            fetch(out[0])
+            note("msm", "rung B: compile+run")
+            t0 = time.perf_counter()
+            fetch(run(xs, ys, sd)[0])
             break
         except Exception as e:  # pragma: no cover - TPU safety net
             if fallback is None:
                 raise
-            print(f"msm pipeline failed ({type(e).__name__}); "
-                  f"disabling {fallback}", file=sys.stderr, flush=True)
+            note("msm", f"pipeline failed ({type(e).__name__}); "
+                 f"disabling {fallback}")
             os.environ[fallback] = "0"
             run = make_run()
-
+    from gingerlib_tpu.ops import pallas_ec
     rung = ("hybrid" if os.environ.get("GINGERLIB_MSM_HYBRID", "1") != "0"
             and pallas_ec.supports(g1) else
             "rns" if os.environ.get("GINGERLIB_EC_RNS") == "1" else
             "fused" if os.environ.get("GINGERLIB_FUSED_EC", "1") != "0"
             else "xla")
-    print(f"msm kernel rung: {rung}", file=sys.stderr, flush=True)
-
-    # time the first (already-run) pass to size the rep count: at 2^20 a
-    # single pass is minutes — don't triple it
+    note("msm", f"rung B first pass {time.perf_counter() - t0:.1f}s "
+         f"(kernel rung: {rung})")
     t0 = time.perf_counter()
-    out = run(xs, ys, sd)
-    fetch(out[0])
-    dt1 = time.perf_counter() - t0
-    reps = 1 if dt1 > 60 else 3
-    if reps > 1:
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = run(xs, ys, sd)
-        fetch(out[0])
-        dt1 = (time.perf_counter() - t0) / reps
-
-    pps = n / dt1
-    emit({
-        "metric": f"msm_points_per_sec_2e{N_LOG2}_g1_mnt4753",
-        "value": round(pps, 2),
-        "unit": "points/s",
-        "vs_baseline": round(pps / CPU_BASELINE_PPS, 4),
-        "rung": rung,
-    })
+    fetch(run(xs, ys, sd)[0])
+    dt = _time_reps(lambda: run(xs, ys, sd), lambda o: fetch(o[0]),
+                    time.perf_counter() - t0)
+    emit({"metric": f"msm_points_per_sec_2e{n_log2}_g1_mnt4753",
+          "value": round(n / dt, 2), "unit": "points/s",
+          "vs_baseline": round(n / dt / CPU_BASELINE_PPS, 4),
+          "rung": rung})
 
 
 def main_groth16():
     """BENCH_METRIC=groth16: prover end-to-end on the BASELINE toy config —
-    the snark-scalability Benchmark circuit (constraints.rs:19-40) at
-    2^BENCH_G16_LOG2 constraints over MNT4-753."""
+    the snark-scalability Benchmark circuit (constraints.rs:19-40) over
+    MNT4-753: guaranteed rung at 2^6 constraints, headline at
+    2^BENCH_G16_LOG2 (default 10)."""
     _setup_jax()
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import numpy as np
     from benchmarks.snark_scalability import benchmark_circuit
     from gingerlib_tpu.curves import instances as CI
     from gingerlib_tpu.relations.r1cs import compile_r1cs
     from gingerlib_tpu.proofs import groth16
 
-    log2 = int(os.environ.get("BENCH_G16_LOG2", "10"))
     eng = CI.mnt4753_pairing()
     fr = eng.g1.scalar_field
-    cs, xs = benchmark_circuit(fr, 4, 1 << log2)
-    compiled = compile_r1cs(cs)
-    params = groth16.generate_parameters(
-        eng, cs, alpha=123, beta=456, gamma=789, delta=1011, t=314159)
 
-    proof = groth16.create_proof(eng, params, compiled, cs.assignment(),
-                                 r=31337, s=71717)   # compile + first run
-    assert groth16.verify_proof(eng, params.vk, proof, xs)
+    def one_size(log2, reps):
+        cs, xs = benchmark_circuit(fr, 4, 1 << log2)
+        compiled = compile_r1cs(cs)
+        note("groth16", f"2^{log2}: setup")
+        params = groth16.generate_parameters(
+            eng, cs, alpha=123, beta=456, gamma=789, delta=1011, t=314159)
+        note("groth16", f"2^{log2}: prove (compile + first run)")
+        proof = groth16.create_proof(eng, params, compiled,
+                                     cs.assignment(), r=31337, s=71717)
+        assert groth16.verify_proof(eng, params.vk, proof, xs)
+        note("groth16", f"2^{log2}: steady-state x{reps}")
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            proof = groth16.create_proof(eng, params, compiled,
+                                         cs.assignment(), r=31337, s=71717)
+        np.asarray(proof.a[0])   # device->host fetch: completion barrier
+        dt = (time.perf_counter() - t0) / reps
+        emit({"metric": f"groth16_proofs_per_sec_2e{log2}_mnt4753",
+              "value": round(1.0 / dt, 4), "unit": "proofs/s",
+              "vs_baseline": round(1.0 / dt / CPU_BASELINE_PROOFS, 4)})
 
-    reps = int(os.environ.get("BENCH_G16_REPS", "3"))
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        proof = groth16.create_proof(eng, params, compiled, cs.assignment(),
-                                     r=31337, s=71717)
+    one_size(6, int(os.environ.get("BENCH_G16_REPS", "3")))
+    if _deadline() < float(os.environ.get("BENCH_G16_MIN_B_S", "120")):
+        note("groth16", "skipping headline rung: budget exhausted")
+        return
+    one_size(int(os.environ.get("BENCH_G16_LOG2", "10")),
+             int(os.environ.get("BENCH_G16_REPS", "3")))
+
+
+def _tiled_field_batch(fr, n, seed):
     import numpy as np
-    np.asarray(proof.a[0])  # device->host fetch as the completion barrier
-    dt = (time.perf_counter() - t0) / reps
-
-    pps = 1.0 / dt
-    emit({
-        "metric": f"groth16_proofs_per_sec_2e{log2}_mnt4753",
-        "value": round(pps, 4),
-        "unit": "proofs/s",
-        "vs_baseline": round(pps / CPU_BASELINE_PROOFS, 4),
-    })
+    import jax.numpy as jnp
+    from gingerlib_tpu.fields import fp as fpmod
+    rng = np.random.RandomState(seed)
+    base_n = min(n, 1 << 10)
+    base = np.stack([fpmod.fp_from_int(
+        fr, int.from_bytes(rng.bytes(94), "little") % fr.modulus)
+        for _ in range(base_n)])
+    return jnp.asarray(np.tile(base, (n // base_n, 1)))
 
 
 def main_fft():
-    """BENCH_METRIC=fft: fft+ifft roundtrip at 2^BENCH_FFT_LOG2 over
-    MNT4-753 Fr (BASELINE config #3), with a bit-exact roundtrip check.
-    vs_baseline: a multicore-CPU radix-2 FFT over 753-bit Fr at 2^20 runs
-    ~1-2 s per pass (estimate; the reference publishes no numbers), so the
-    baseline is 2^20 elements / 2 s = 5.2e5 butterflied-elements/s per
-    fft+ifft pair."""
+    """BENCH_METRIC=fft: fft+ifft roundtrip over MNT4-753 Fr (BASELINE
+    config #3) with a bit-exact roundtrip check: guaranteed rung at 2^14,
+    headline at 2^BENCH_FFT_LOG2 (default 20).  vs_baseline: a
+    multicore-CPU radix-2 FFT over 753-bit Fr at 2^20 runs ~1-2 s per pass
+    (estimate; the reference publishes no numbers), so the baseline is
+    2^20 elements / 2 s = 5.2e5 butterflied-elements/s per fft+ifft."""
     jax = _setup_jax()
-    import jax.numpy as jnp
     import numpy as np
     from gingerlib_tpu.curves import instances as CI
-    from gingerlib_tpu.fields import fp as fpmod
     from gingerlib_tpu.ops.fft import Domain
 
-    log2 = int(os.environ.get("BENCH_FFT_LOG2", "20"))
     fr = CI.mnt4753_g1().scalar_field
-    n = 1 << log2
-    dom = Domain(fr, n)
-    rng = np.random.RandomState(17)
-    base = np.stack([fpmod.fp_from_int(
-        fr, int.from_bytes(rng.bytes(94), "little") % fr.modulus)
-        for _ in range(1 << 10)])
-    coeffs = jnp.asarray(np.tile(base, (n >> 10, 1)))
 
-    run = jax.jit(lambda c: dom.ifft(dom.fft(c)))
-    out = np.asarray(run(coeffs))
-    assert np.array_equal(out, np.asarray(coeffs)), "fft roundtrip mismatch"
+    def one_size(log2, check):
+        n = 1 << log2
+        dom = Domain(fr, n)
+        coeffs = _tiled_field_batch(fr, n, seed=17)
+        run = jax.jit(lambda c: dom.ifft(dom.fft(c)))
+        note("fft", f"2^{log2}: compile+run")
+        t0 = time.perf_counter()
+        out = np.asarray(run(coeffs))
+        note("fft", f"2^{log2} first pass {time.perf_counter() - t0:.1f}s")
+        if check:
+            assert np.array_equal(out, np.asarray(coeffs)), \
+                "fft roundtrip mismatch"
+        t0 = time.perf_counter()
+        np.asarray(run(coeffs))
+        dt = _time_reps(lambda: run(coeffs), lambda o: np.asarray(o),
+                        time.perf_counter() - t0)
+        emit({"metric": f"fft_roundtrip_elems_per_sec_2e{log2}_fr_mnt4753",
+              "value": round(n / dt, 2), "unit": "elems/s",
+              "vs_baseline": round(n / dt / 5.2e5, 4)})
 
-    reps = 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        o = run(coeffs)
-    np.asarray(o)
-    dt = (time.perf_counter() - t0) / reps
-
-    eps = n / dt
-    emit({
-        "metric": f"fft_roundtrip_elems_per_sec_2e{log2}_fr_mnt4753",
-        "value": round(eps, 2),
-        "unit": "elems/s",
-        "vs_baseline": round(eps / 5.2e5, 4),
-    })
+    one_size(14, check=True)
+    if _deadline() < float(os.environ.get("BENCH_FFT_MIN_B_S", "60")):
+        note("fft", "skipping headline rung: budget exhausted")
+        return
+    one_size(int(os.environ.get("BENCH_FFT_LOG2", "20")), check=True)
 
 
 def main_poseidon():
-    """BENCH_METRIC=poseidon: 2^BENCH_MERKLE_LOG2-leaf Poseidon Merkle tree
-    build over MNT4-753 (BASELINE config #4).  vs_baseline: the reference's
-    batch Poseidon on a multicore CPU hashes ~1e4 2-to-1/s (test_hash_speed
+    """BENCH_METRIC=poseidon: Poseidon Merkle tree build over MNT4-753
+    (BASELINE config #4): guaranteed rung 2^10 leaves, headline
+    2^BENCH_MERKLE_LOG2 (default 16).  vs_baseline: the reference's batch
+    Poseidon on a multicore CPU hashes ~1e4 2-to-1/s (test_hash_speed
     scale; estimate, no published numbers)."""
-    jax = _setup_jax()
-    import jax.numpy as jnp
+    _setup_jax()
     import numpy as np
-    from gingerlib_tpu.fields import fp as fpmod
-    from gingerlib_tpu.primitives.poseidon import PoseidonHash, PoseidonParams
+    from gingerlib_tpu.primitives.poseidon import PoseidonHash, \
+        PoseidonParams
     from gingerlib_tpu.primitives.merkle import FieldBasedMerkleTree
 
-    log2 = int(os.environ.get("BENCH_MERKLE_LOG2", "16"))
     h = PoseidonHash(PoseidonParams.mnt4753())
     fr = h.F
-    n = 1 << log2
-    rng = np.random.RandomState(23)
-    base = np.stack([fpmod.fp_from_int(
-        fr, int.from_bytes(rng.bytes(94), "little") % fr.modulus)
-        for _ in range(1 << 10)])
-    leaves = jnp.asarray(np.tile(base, (n >> 10, 1)))
 
-    tree = FieldBasedMerkleTree(h, log2 + 1)
-    tree.build(leaves)
-    np.asarray(tree.root())  # compile + first build
+    def one_size(log2, reps):
+        n = 1 << log2
+        leaves = _tiled_field_batch(fr, n, seed=23)
+        tree = FieldBasedMerkleTree(h, log2 + 1)
+        note("poseidon", f"2^{log2}: compile+build")
+        t0 = time.perf_counter()
+        # force the single fixed-batch hash graph at every size: ONE
+        # tunnel compile serves both rungs (a 2^10 tree through the
+        # per-level path is 10 separate compile shapes — measured >50 min
+        # on the remote-compile tunnel)
+        tree.build(leaves, use_fixed=True)
+        np.asarray(tree.root())
+        note("poseidon",
+             f"2^{log2} first pass {time.perf_counter() - t0:.1f}s")
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            tree.build(leaves)
+        np.asarray(tree.root())
+        dt = (time.perf_counter() - t0) / reps
+        emit({"metric": f"poseidon_merkle_hashes_per_sec_2e{log2}_mnt4753",
+              "value": round((n - 1) / dt, 2), "unit": "hashes/s",
+              "vs_baseline": round((n - 1) / dt / 1.0e4, 4)})
 
-    reps = int(os.environ.get("BENCH_MERKLE_REPS", "3"))
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        tree.build(leaves)
-    np.asarray(tree.root())
-    dt = (time.perf_counter() - t0) / reps
-
-    hps = (n - 1) / dt      # 2-to-1 hashes per tree
-    emit({
-        "metric": f"poseidon_merkle_hashes_per_sec_2e{log2}_mnt4753",
-        "value": round(hps, 2),
-        "unit": "hashes/s",
-        "vs_baseline": round(hps / 1.0e4, 4),
-    })
+    one_size(10, reps=3)
+    if _deadline() < float(os.environ.get("BENCH_MERKLE_MIN_B_S", "60")):
+        note("poseidon", "skipping headline rung: budget exhausted")
+        return
+    one_size(int(os.environ.get("BENCH_MERKLE_LOG2", "16")),
+             reps=int(os.environ.get("BENCH_MERKLE_REPS", "3")))
 
 
 def main_all():
     """Run each metric in a subprocess under a hard wall-clock cap so one
-    slow/hung remote compile cannot eat the driver budget (round-3 failure:
-    rc=124 with zero lines).  JSON lines stream through as each metric
-    lands; a timed-out or crashed metric is reported on stderr and
-    skipped."""
+    slow/hung remote compile cannot eat the driver budget (round-3
+    failure: rc=124 with zero lines; round-4 failure: all four metrics
+    cold-compiled past their caps with zero lines — hence the per-metric
+    guaranteed small rungs above).  JSON lines stream through as each
+    rung lands; a timed-out or crashed metric keeps whatever lines it
+    already printed."""
     import subprocess
 
-    budget = float(os.environ.get("BENCH_BUDGET_S", "1200"))
-    caps = {"msm": 480.0, "poseidon": 180.0, "fft": 180.0, "groth16": 320.0}
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1140"))
+    caps = {"msm": 420.0, "poseidon": 170.0, "fft": 150.0, "groth16": 300.0}
     t_start = time.monotonic()
     me = os.path.abspath(__file__)
     for name in ("msm", "poseidon", "fft", "groth16"):
         remaining = budget - (time.monotonic() - t_start)
-        if remaining < 30:
+        if remaining < 45:
             print(f"bench {name} skipped: budget exhausted",
                   file=sys.stderr, flush=True)
             continue
         cap = min(caps[name], remaining)
-        env = dict(os.environ, BENCH_METRIC=name)
+        env = dict(os.environ, BENCH_METRIC=name,
+                   BENCH_METRIC_CAP_S=str(cap))
         t0 = time.monotonic()
         try:
             rc = subprocess.run([sys.executable, me], env=env,
@@ -334,7 +428,7 @@ def main_all():
 if __name__ == "__main__":
     which = os.environ.get("BENCH_METRIC", "all")
     fns = {"groth16": main_groth16, "fft": main_fft,
-           "poseidon": main_poseidon, "msm": main}
+           "poseidon": main_poseidon, "msm": main_msm}
     if which in fns:
         fns[which]()
     else:

@@ -40,6 +40,8 @@ class SWCurveOps:
         self.fp = field_ops.fp
         self.a = jnp.asarray(field_ops.const(a_host))
         self.b = jnp.asarray(field_ops.const(b_host))
+        self.a_host = a_host                # python ints, host-side users
+        self.generator_host = generator_host
         self.a_is_zero = all(v == 0 for v in np.asarray(self.a).reshape(-1))
         self.cofactor = cofactor
         self.cofactor_inv = cofactor_inv

@@ -85,12 +85,14 @@ class Domain:
         """coeffs [..., m, nd] (Montgomery) -> evaluations at ω^j."""
         tw = _powers_table(self.params, self.gen, self.size // 2,
                            lambda: self._twiddles)
-        return _fft_core(self.params, coeffs, tw)
+        core = _fft_core_scan if _use_fft_scan(self.size) else _fft_core
+        return core(self.params, coeffs, tw)
 
     def ifft(self, evals):
         tw = _powers_table(self.params, self.gen_inv, self.size // 2,
                            lambda: self._inv_twiddles)
-        out = _fft_core(self.params, evals, tw)
+        core = _fft_core_scan if _use_fft_scan(self.size) else _fft_core
+        out = core(self.params, evals, tw)
         scale = fpmod.fp_from_int(self.params, self.size_inv)
         return fpmod.mont_mul(self.params, out, jnp.asarray(scale))
 
@@ -352,6 +354,72 @@ def _fft_mixed(params: FpParams, x, powers, factors):
             y = jnp.concatenate(outs, axis=-2)
         y = y.reshape(*batch, g // r, n, nd)
     return y.reshape(*batch, m, nd)
+
+
+def _fft_core_scan(params: FpParams, x, twiddles):
+    """Radix-2 DIT FFT as ONE lax.scan over the lg(m) combine stages.
+
+    Bit-identical to :func:`_fft_core` (same butterflies, same twiddle
+    selection — pinned by tests/test_fft.py::test_fft_scan_matches_unrolled)
+    but the program contains a single stage body with in-graph index math
+    instead of 2·lg(m) unrolled full-size stages: at 2^20 the unrolled
+    form OOM-kills the AOT compile helper (SIGKILL, round-5 measurement),
+    while this form compiles like any other scan.  Dispatch:
+    ``GINGERLIB_FFT_SCAN`` env gate in :meth:`Domain.fft`/``ifft``
+    (auto: on for m >= 2^17 on the TPU backend).
+    """
+    m = x.shape[-2]
+    if m == 1:
+        return x
+    lg = m.bit_length() - 1
+    # bit-reversal permutation, built from iota (no host index tables —
+    # a [m] int32 constant would be fine, but in-graph keeps the program
+    # free of large constants for the remote-compile path)
+    idx = jnp.arange(m, dtype=jnp.int32)
+    rev = jnp.zeros_like(idx)
+    for b in range(lg):
+        rev = rev | (((idx >> b) & 1) << (lg - 1 - b))
+    y = jnp.take(x, rev, axis=-2)
+
+    k = jnp.arange(m // 2, dtype=jnp.int32)
+    i_full = idx
+    hs = jnp.asarray([1 << s for s in range(lg)], jnp.int32)
+
+    def stage(y, h):
+        # butterfly pairs (lo, lo + h) inside blocks of 2h
+        blk = k // h
+        j = k - blk * h
+        lo = blk * (2 * h) + j
+        E = jnp.take(y, lo, axis=-2)
+        O = jnp.take(y, lo + h, axis=-2)
+        stride = (m // 2) // h          # == m/(2h), exact for pow-2
+        w = jnp.take(twiddles, j * stride, axis=0)
+        t = fpmod.mont_mul(params, O, w)
+        top = fpmod.add_mod(params, E, t)
+        bot = fpmod.sub_mod(params, E, t)
+        # re-interleave [top | bot] back to natural block layout
+        b2 = i_full // (2 * h)
+        o = i_full - b2 * (2 * h)
+        sel = o < h
+        src = b2 * h + jnp.where(sel, o, o - h)
+        yn = jnp.where(sel[..., None],
+                       jnp.take(top, src, axis=-2),
+                       jnp.take(bot, src, axis=-2))
+        return yn, None
+
+    y, _ = jax.lax.scan(stage, y, hs)
+    return y
+
+
+def _use_fft_scan(m: int) -> bool:
+    import os
+    v = os.environ.get("GINGERLIB_FFT_SCAN", "auto")
+    if v == "1":
+        return True
+    if v == "0":
+        return False
+    import jax as _jax
+    return m >= (1 << 17) and _jax.default_backend() == "tpu"
 
 
 def _fft_core(params: FpParams, x, twiddles):

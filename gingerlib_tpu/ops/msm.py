@@ -463,6 +463,38 @@ def fixed_base_table(curve: SWCurveOps, base_affine, w: int, nbits: int):
     return (tx, ty), tinf
 
 
+def fixed_base_table_scan(curve: SWCurveOps, base_affine, w: int,
+                          nbits: int):
+    """Same table as :func:`fixed_base_table`, built as ONE batched
+    double-and-add scan over all W·2^w entry scalars j·2^(w·i).
+
+    Compile-lean form for the remote AOT helper: the level-doubling
+    construction unrolls log2(2^w) batch_affine_add stages (BEA inversion
+    chains inlined per stage) and its MLIR reaches ~11 MB for a G2-sized
+    field — the compile helper subprocess is OOM-killed (round-5
+    measurement).  Here the whole build is one lax.scan + one batched
+    affine conversion; runtime cost is ~nbits batched double/adds, paid
+    once per (curve, w) per process.
+    """
+    W = -(-nbits // w)
+    gx, gy = base_affine
+    K, nd = gx.shape[-2:]
+    n_entries = W << w
+    scalars = [j << (w * i) for i in range(W) for j in range(1 << w)]
+    kd = jnp.asarray(limbs.to_digits_batch(scalars,
+                                           curve.scalar_field.n_digits))
+    shape = (n_entries, K, nd)
+    pt = (jnp.broadcast_to(gx, shape), jnp.broadcast_to(gy, shape),
+          jnp.broadcast_to(jnp.asarray(curve.F.one()), shape))
+    prod = curve.mul_scalar_digits(pt, kd)
+    ax, ay = curve.to_affine(prod)
+    inf = jnp.asarray(np.asarray([s == 0 for s in scalars]))
+    ax = jnp.where(inf[:, None, None], 0, ax)
+    ay = jnp.where(inf[:, None, None], 0, ay)
+    return ((ax.reshape(W, 1 << w, K, nd), ay.reshape(W, 1 << w, K, nd)),
+            inf.reshape(W, 1 << w))
+
+
 def fixed_base_msm_windowed(curve: SWCurveOps, table, scalar_digits,
                             w: int, nbits: int):
     """[k_i]·G via a precomputed fixed_base_table: one table gather per

@@ -47,10 +47,14 @@ class FieldBasedMerkleTree:
     _FIXED_BATCH = 1 << 12
 
     def _hash_fixed(self):
-        fn = getattr(self, "_hash_fixed_fn", None)
+        # cached on the (shared) hash object, not the tree: every tree
+        # over the same PoseidonHash reuses ONE jitted fixed-batch graph
+        # (a per-tree cache would recompile per FieldBasedMerkleTree
+        # instance — one tunnel compile each on the remote backend)
+        fn = getattr(self.h, "_fixed_2to1_jit", None)
         if fn is None:
             fn = jax.jit(lambda l, r: self.h.hash_2_1(l, r))
-            self._hash_fixed_fn = fn
+            self.h._fixed_2to1_jit = fn
         return fn
 
     def _level_up(self, cur, use_fixed: bool):
@@ -70,8 +74,15 @@ class FieldBasedMerkleTree:
         outs = [fn(l[s:s + B], r[s:s + B]) for s in range(0, m, B)]
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
-    def build(self, leaves):
-        """leaves: [N, nd] Montgomery field elements."""
+    def build(self, leaves, use_fixed=None):
+        """leaves: [N, nd] Montgomery field elements.
+
+        use_fixed: None -> auto (fixed-batch graph once the tree is big
+        enough to amortize the padding); True forces every level through
+        the single fixed-batch graph — callers on the remote-compile
+        tunnel use this so a SMALL tree still costs one compile instead
+        of one per level shape (bench.py poseidon rung A).
+        """
         n = leaves.shape[0]
         n2 = 1 << max(0, (n - 1).bit_length())
         if n2 != n:
@@ -81,7 +92,8 @@ class FieldBasedMerkleTree:
         tree_height = n2.bit_length()  # levels incl. leaf level
         if tree_height > self.height:
             raise ValueError("tree exceeds configured HEIGHT")
-        use_fixed = n2 >= 2 * self._FIXED_BATCH
+        if use_fixed is None:
+            use_fixed = n2 >= 2 * self._FIXED_BATCH
 
         levels = [leaves]
         cur = leaves

@@ -10,6 +10,9 @@ from gingerlib_tpu.curves.pairing_host import (
 from gingerlib_tpu.proofs.groth16_host import ec_mul, _FqWrap
 from gingerlib_tpu.gadgets.std.ext_fields import FpGOps
 
+# slow: full BLS12 Miller loops + final exponentiation, eager on CPU (>420 s measured round 5)
+pytestmark = pytest.mark.slow
+
 
 CASES = [
     ("bls12_377", host_bls12_377_pairing, CG.BLS12_377, "BLS12_377_FR"),

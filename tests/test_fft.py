@@ -175,3 +175,26 @@ def test_best_domain_selection():
     assert isinstance(d, MixedRadixDomain)
     assert d.size >= (1 << 15) + 1
     assert d.size == (1 << 13) * 5  # 40960: smallest 2^k·5^s fit
+
+
+def test_fft_scan_matches_unrolled():
+    """_fft_core_scan (single-scan compile-lean form, the TPU >=2^17
+    dispatch) must be bit-identical to the unrolled _fft_core — including
+    batched inputs."""
+    import jax.numpy as jnp
+    from gingerlib_tpu.ops.fft import Domain, _fft_core, _fft_core_scan, \
+        _build_powers
+    P = PP.BLS12_377_FR
+    rng = np.random.RandomState(3)
+    for m in (2, 8, 64):
+        dom = Domain(P, m)
+        xs = [int.from_bytes(rng.bytes(40), "little") % P.modulus
+              for _ in range(m)]
+        c = jnp.asarray(fp.fp_from_ints(P, xs))
+        tw = jnp.asarray(_build_powers(P, dom.gen, m // 2))
+        a = np.asarray(_fft_core(P, c, tw))
+        b = np.asarray(_fft_core_scan(P, c, tw))
+        assert np.array_equal(a, b), m
+        cb = jnp.stack([c, c])
+        assert np.array_equal(np.asarray(_fft_core(P, cb, tw)),
+                              np.asarray(_fft_core_scan(P, cb, tw))), m

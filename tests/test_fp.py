@@ -115,6 +115,7 @@ def test_pow_dyn():
 
 
 @pytest.mark.parametrize("P", [SMALL, BIG, PP.SW6_FQ], ids=lambda p: p.name)
+@pytest.mark.slow
 def test_mont_mul_pallas_interpret(P):
     """The Pallas Montgomery kernel (ops/pallas_mont.py) is the default TPU
     mont_mul path but CPU CI normally takes the pure-XLA branch — run it in
@@ -130,6 +131,7 @@ def test_mont_mul_pallas_interpret(P):
 
 
 @pytest.mark.parametrize("P", [SMALL, BIG], ids=lambda p: p.name)
+@pytest.mark.slow
 def test_pow_const_pallas_interpret(P):
     """Fused pow-chain kernel (ops/pallas_mont.pow_const_pallas) vs python
     pow, interpret mode (small exponent: the interpreter replays the ladder
@@ -147,6 +149,7 @@ def test_pow_const_pallas_interpret(P):
 
 
 @pytest.mark.parametrize("P", [SMALL, BIG], ids=lambda p: p.name)
+@pytest.mark.slow
 def test_mont_mul_mxu_interpret(P):
     """MXU-REDC Montgomery kernel (constant multiplies as bf16 matmuls) vs
     python-int oracle, interpret mode."""
@@ -161,6 +164,7 @@ def test_mont_mul_mxu_interpret(P):
     assert got == [(x * y) % q for x, y in zip(xs, ys)]
 
 
+@pytest.mark.slow
 def test_inv_bea_pallas_interpret():
     """In-kernel BEA inversion vs python pow(x, -1, q), interpret mode
     (SMALL field only — the interpreter replays ~4·nbits iterations)."""
@@ -179,6 +183,7 @@ def test_inv_bea_pallas_interpret():
 
 
 @pytest.mark.parametrize("P", [SMALL, BIG], ids=lambda p: p.name)
+@pytest.mark.slow
 def test_mont_mul_transposed_interpret(P):
     """Transposed-tile Montgomery kernel (digits on sublanes, MXU REDC,
     semi-normalized intermediate carries) vs python-int oracle."""

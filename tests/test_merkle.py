@@ -9,6 +9,9 @@ from gingerlib_tpu.fields import fp
 from gingerlib_tpu.primitives.poseidon import PoseidonParams, PoseidonHash
 from gingerlib_tpu.primitives.merkle import FieldBasedMerkleTree
 
+# slow: every test drives 753-bit Poseidon eagerly on this 1-core box (>420 s measured round 5); the fast tier covers Merkle via test_byte_merkle_gadget + serialization pins
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def tree_setup():

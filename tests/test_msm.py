@@ -217,3 +217,21 @@ def test_msm_hybrid_matches_naive(setup, cutoff):
     exp = jax.jit(lambda xs, ys, sd: M.msm_naive(
         g1, xs, ys, sd, inf_mask=jnp.asarray(inf)))(xs2, ys2, sd)
     assert bool(np.asarray(g1.eq(res, exp)))
+
+
+@pytest.mark.slow
+def test_fixed_base_table_scan_matches_levels():
+    """fixed_base_table_scan (compile-lean scan build, the TPU setup
+    path) must produce the identical table to the level-doubling
+    fixed_base_table — mnt6298 G1, w=3, nbits=8 (3 windows x 8 entries)."""
+    from gingerlib_tpu.curves import instances as CI
+    g1 = CI.mnt6298_g1()
+    base = g1.generator_affine
+    t_lvl, i_lvl = M.fixed_base_table(g1, base, w=3, nbits=8)
+    t_scn, i_scn = M.fixed_base_table_scan(g1, base, w=3, nbits=8)
+    assert np.array_equal(np.asarray(i_lvl), np.asarray(i_scn))
+    inf = np.asarray(i_lvl)[..., None, None]
+    for a, b in zip(t_lvl, t_scn):
+        a = np.where(inf, 0, np.asarray(a))   # zero entries are masked
+        b = np.where(inf, 0, np.asarray(b))
+        assert np.array_equal(a, b)

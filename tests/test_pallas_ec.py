@@ -9,6 +9,9 @@ import pytest
 from gingerlib_tpu.curves import instances as CI
 from gingerlib_tpu.ops import limbs, pallas_ec
 
+# slow: Pallas interpret-mode EC kernels (>420 s measured round 5)
+pytestmark = pytest.mark.slow
+
 
 def _curve():
     return CI.mnt4753_g1()

@@ -156,8 +156,11 @@ def test_sharded_witness_map_bit_identical():
 def test_two_process_distributed():
     """Exercise the REAL multi-host branch (distributed.py:30-73): two CPU
     processes, jax.distributed over a localhost coordinator, one sharded
-    Poseidon batch over the process-spanning mesh; both workers must agree
-    with the single-process value (VERDICT r3 item 7)."""
+    MSM over the process-spanning mesh (the compile-lean MNT6-298
+    sharded_msm_scan graph — the same payload as the driver's multi-chip
+    dryrun; a 753-bit Poseidon graph cold-compiles past the timeout on
+    this 1-core box).  Both workers must print the same digest, and each
+    checks the value against independent host-int EC math."""
     import socket
     import subprocess
     import sys
