@@ -177,25 +177,9 @@ def main_msm():
           "vs_baseline": round(n_a / dt / CPU_BASELINE_PPS, 4),
           "rung": "scan_naive"})
 
-    # ---- rung A2: projective Pippenger at 2^12 ----
-    if _deadline() > float(os.environ.get("BENCH_MSM_MIN_A2_S", "120")):
-        n_a2 = 1 << 12
-        xs_np, ys_np = _host_points(g1, 12)
-        xs, ys = jnp.asarray(xs_np), jnp.asarray(ys_np)
-        sd = _rand_scalar_digits(fr, n_a2)
-        run_a2 = jax.jit(lambda xs, ys, sd: msm_mod.msm(g1, xs, ys, sd))
-        note("msm", "rung A2: compile+run")
-        t0 = time.perf_counter()
-        fetch(run_a2(xs, ys, sd)[0])
-        note("msm", f"rung A2 first pass {time.perf_counter() - t0:.1f}s")
-        t0 = time.perf_counter()
-        fetch(run_a2(xs, ys, sd)[0])
-        dt = _time_reps(lambda: run_a2(xs, ys, sd), lambda o: fetch(o[0]),
-                        time.perf_counter() - t0)
-        emit({"metric": "msm_points_per_sec_2e12_g1_mnt4753",
-              "value": round(n_a2 / dt, 2), "unit": "points/s",
-              "vs_baseline": round(n_a2 / dt / CPU_BASELINE_PPS, 4),
-              "rung": "projective"})
+    # (no middle rung: a projective-Pippenger 2^12 line was measured at
+    # 657 pts/s but its 71 MB executable costs ~340 s per process through
+    # the ~0.4 MB/s relay — not worth a redundant fallback line)
 
     # ---- rung B (headline): hybrid Pippenger at 2^BENCH_MSM_LOG2 ----
     n_log2 = int(os.environ.get("BENCH_MSM_LOG2", "16"))
@@ -257,22 +241,47 @@ def main_groth16():
     import numpy as np
     from benchmarks.snark_scalability import benchmark_circuit
     from gingerlib_tpu.curves import instances as CI
+    from gingerlib_tpu.fields import fp as fpmod
     from gingerlib_tpu.relations.r1cs import compile_r1cs
     from gingerlib_tpu.proofs import groth16
+    from gingerlib_tpu.proofs.groth16_host import host_groth16_mnt4753
 
     eng = CI.mnt4753_pairing()
     fr = eng.g1.scalar_field
+    TOXIC = dict(alpha=123, beta=456, gamma=789, delta=1011, t=314159)
+
+    def host_check(cs, proof, xs):
+        """Verify the DEVICE proof with the host-int oracle: a stronger
+        check than device verify (it pins the proof against an
+        independent implementation of the reference dataflow) and it
+        costs zero device compiles — the device pairing graph alone is a
+        multi-minute compile this metric cannot afford (covered instead
+        by tests/test_groth16*.py)."""
+        H = host_groth16_mnt4753()
+        hparams = H.setup_vk(cs, **TOXIC)
+        fq = eng.g1.fp
+
+        def g1i(xy):
+            return (fpmod.fp_to_int(fq, np.asarray(xy[0])[0]),
+                    fpmod.fp_to_int(fq, np.asarray(xy[1])[0]))
+
+        def g2i(xy):
+            return ([fpmod.fp_to_int(fq, c) for c in np.asarray(xy[0])],
+                    [fpmod.fp_to_int(fq, c) for c in np.asarray(xy[1])])
+
+        pr = {"a": g1i(proof.a), "b": g2i(proof.b), "c": g1i(proof.c)}
+        assert H.verify(hparams, pr, xs), "device proof failed host verify"
 
     def one_size(log2, reps):
         cs, xs = benchmark_circuit(fr, 4, 1 << log2)
         compiled = compile_r1cs(cs)
         note("groth16", f"2^{log2}: setup")
-        params = groth16.generate_parameters(
-            eng, cs, alpha=123, beta=456, gamma=789, delta=1011, t=314159)
+        params = groth16.generate_parameters(eng, cs, **TOXIC)
         note("groth16", f"2^{log2}: prove (compile + first run)")
         proof = groth16.create_proof(eng, params, compiled,
                                      cs.assignment(), r=31337, s=71717)
-        assert groth16.verify_proof(eng, params.vk, proof, xs)
+        note("groth16", f"2^{log2}: host-oracle verify")
+        host_check(cs, proof, xs)
         note("groth16", f"2^{log2}: steady-state x{reps}")
         t0 = time.perf_counter()
         for _ in range(reps):
@@ -359,6 +368,7 @@ def main_poseidon():
 
     h = PoseidonHash(PoseidonParams.mnt4753())
     fr = h.F
+    max_log2 = int(os.environ.get("BENCH_MERKLE_LOG2", "16"))
 
     def one_size(log2, reps):
         n = 1 << log2
@@ -366,17 +376,17 @@ def main_poseidon():
         tree = FieldBasedMerkleTree(h, log2 + 1)
         note("poseidon", f"2^{log2}: compile+build")
         t0 = time.perf_counter()
-        # force the single fixed-batch hash graph at every size: ONE
-        # tunnel compile serves both rungs (a 2^10 tree through the
-        # per-level path is 10 separate compile shapes — measured >50 min
-        # on the remote-compile tunnel)
-        tree.build(leaves, use_fixed=True)
+        # single-dispatch scan build, shapes padded to the headline size:
+        # ONE compiled executable and ONE device round-trip serve both
+        # rungs (the per-level build is one jitted call per chunk —
+        # measured >25 min at 2^16 purely in tunnel dispatch latency)
+        tree.build_scan(leaves, max_leaves=1 << max_log2)
         np.asarray(tree.root())
         note("poseidon",
              f"2^{log2} first pass {time.perf_counter() - t0:.1f}s")
         t0 = time.perf_counter()
         for _ in range(reps):
-            tree.build(leaves)
+            tree.build_scan(leaves, max_leaves=1 << max_log2)
         np.asarray(tree.root())
         dt = (time.perf_counter() - t0) / reps
         emit({"metric": f"poseidon_merkle_hashes_per_sec_2e{log2}_mnt4753",

@@ -195,6 +195,195 @@ class MNTPairing:
             f = F.conjugate(f)
         return f
 
+    # ------------------------------------------------------------------
+    # prepared (fixed-G2) Miller loop
+    # ------------------------------------------------------------------
+    #
+    # The reference precomputes the Miller-loop line coefficients once per
+    # G2 point via an affine double/add ladder with one field inversion per
+    # step (mnt4/mod.rs:100-154, G2Prepared / G2PreparedCoefficients) and
+    # each pairing then consumes *sparse* lines via mul_by_023 /
+    # mul_by_2345 (fp4.rs:112, fp6_2over3.rs:110).  On TPU the inversion-
+    # free projective loop above is the right call for *varying* Q — but
+    # Groth16 verification pairs against fixed gamma_g2/delta_g2 every
+    # call, and recursion uses a pinned vk, so for fixed Q the affine
+    # ladder runs ONCE host-side (python-int inversions are free there)
+    # and the device scan consumes genuinely sparse affine lines:
+    # per step one subfield scale + adds + one sparse f*line mul instead
+    # of ~8 subfield muls + a dense Fqk mul.
+
+    def _host_sub_ints(self, x):
+        """Device subfield element [Ks, nd] -> list of Ks python ints."""
+        return fpmod.fp_to_ints(self.fp, np.asarray(x))
+
+    def prepare_g2(self, q_affine):
+        """Host affine ladder (mnt4/mod.rs:100-154) for one G2 point.
+
+        q_affine: (x2, y2) device/numpy arrays [Ks, nd] (Montgomery
+        digits).  Returns a dict of numpy digit arrays, one row per WNAF
+        step (add slots masked where the step has no add):
+          dbl_ry, dbl_gx, dbl_gt, add_gx, add_gt : [steps, Ks, nd]
+          q_y : [Ks, nd]
+        where gt = gamma*TWIST (precomputed so the device step only
+        scales it by x_P).
+        """
+        p = self.fp.modulus
+        S = self.sub
+        K = S.K
+        nr = fpmod.fp_to_int(self.fp, np.asarray(S.nr)[0])
+
+        def hmul(a, b):
+            if K == 2:
+                return [(a[0] * b[0] + nr * a[1] * b[1]) % p,
+                        (a[0] * b[1] + a[1] * b[0]) % p]
+            return [(a[0] * b[0] + nr * (a[1] * b[2] + a[2] * b[1])) % p,
+                    (a[0] * b[1] + a[1] * b[0] + nr * a[2] * b[2]) % p,
+                    (a[0] * b[2] + a[1] * b[1] + a[2] * b[0]) % p]
+
+        def hinv(a):
+            if K == 2:
+                d = (a[0] * a[0] - nr * a[1] * a[1]) % p
+                di = pow(d, -1, p)
+                return [a[0] * di % p, -a[1] * di % p]
+            c0 = (a[0] * a[0] - nr * a[1] * a[2]) % p
+            c1 = (nr * a[2] * a[2] - a[0] * a[1]) % p
+            c2 = (a[1] * a[1] - a[0] * a[2]) % p
+            d = (a[0] * c0 + nr * (a[2] * c1 + a[1] * c2)) % p
+            di = pow(d, -1, p)
+            return [c0 * di % p, c1 * di % p, c2 * di % p]
+
+        def htwist(a):   # a * X  (TWIST = the tower generator)
+            if K == 2:
+                return [nr * a[1] % p, a[0]]
+            return [nr * a[2] % p, a[0], a[1]]
+
+        qx = self._host_sub_ints(q_affine[0])
+        qy = self._host_sub_ints(q_affine[1])
+        a_tw = self._host_sub_ints(self.twist_a)
+        sx, sy = qx, qy
+        dbl_ry, dbl_gx, dbl_gt = [], [], []
+        add_gx, add_gt = [], []
+        zero = [0] * K
+        for n in self.wnaf.tolist():           # MSB -> LSB
+            sxx = hmul(sx, sx)
+            num = [(3 * u + v) % p for u, v in zip(sxx, a_tw)]
+            gamma = hmul(num, hinv([2 * v % p for v in sy]))
+            dbl_ry.append(sy)
+            dbl_gx.append(hmul(gamma, sx))
+            dbl_gt.append(htwist(gamma))
+            nx = [(u - 2 * v) % p
+                  for u, v in zip(hmul(gamma, gamma), sx)]
+            ny = [(u - v) % p for u, v in zip(
+                hmul(gamma, [(i - j) % p for i, j in zip(sx, nx)]), sy)]
+            sx, sy = nx, ny
+            if n != 0:
+                sgn = 1 if n > 0 else -1
+                num = [(u - sgn * v) % p for u, v in zip(sy, qy)]
+                gamma = hmul(num, hinv(
+                    [(u - v) % p for u, v in zip(sx, qx)]))
+                add_gx.append(hmul(gamma, qx))
+                add_gt.append(htwist(gamma))
+                nx = [(u - v - w) % p
+                      for u, v, w in zip(hmul(gamma, gamma), sx, qx)]
+                ny = [(u - v) % p for u, v in zip(
+                    hmul(gamma, [(i - j) % p for i, j in zip(sx, nx)]),
+                    sy)]
+                sx, sy = nx, ny
+            else:
+                add_gx.append(zero)
+                add_gt.append(zero)
+
+        def pack(rows):   # [steps][K] ints -> [steps, K, nd] Mont digits
+            flat = [v for row in rows for v in row]
+            d = fpmod.fp_from_ints(self.fp, flat)
+            return d.reshape(len(rows), K, self.fp.n_digits)
+
+        return {"dbl_ry": pack(dbl_ry), "dbl_gx": pack(dbl_gx),
+                "dbl_gt": pack(dbl_gt), "add_gx": pack(add_gx),
+                "add_gt": pack(add_gt), "q_y": pack([qy])[0]}
+
+    def miller_loop_prepared(self, p_affine, prep):
+        """Miller loop from precomputed affine line coefficients
+        (mnt4/mod.rs:156-224 ate_miller_loop).  p_affine: (x, y)
+        [..., 1, nd]; prep arrays carry a matching batch shape
+        [..., steps, Ks, nd] (q_y: [..., Ks, nd]).  The f*line products
+        use the sparse mul_by_023 (MNT4) / mul_by_2345 (MNT6) shapes —
+        the affine lines' c0 = T²*y_P really is a single base-field
+        coefficient, unlike the projective loop's c0 = T²*y_P*M."""
+        S = self.sub
+        F = self.fqk
+        xp, yp = p_affine
+        xp_row = xp[..., 0, :]
+        y_row = yp[..., 0, :]
+        q_y = prep["q_y"]
+        batch = q_y.shape[:-2]
+
+        if self._tw2_sparse:
+            if S.K == 2:
+                a_c0 = fpmod.mont_mul(self.fp, y_row, self.sub.nr[0])
+                sparse_mul = F.mul_by_023
+            else:
+                a_c0 = y_row
+                sparse_mul = F.mul_by_2345
+
+            def fmul_line(f, c1):
+                return sparse_mul(f, a_c0, c1)
+        else:  # pragma: no cover - all MNT towers have sparse T²
+            c0_dense = S.scale_fp(jnp.broadcast_to(
+                self.twist_sq, batch + self.twist_sq.shape[-2:]), y_row)
+
+            def fmul_line(f, c1):
+                return F.mul(f, self._fqk(c0_dense, c1))
+
+        one_k = jnp.broadcast_to(jnp.asarray(F.one()),
+                                 batch + (F.K, self.fp.n_digits))
+        wnaf = jnp.asarray(self.wnaf)
+        # scan xs: step axis first
+        def tfirst(x):
+            return jnp.moveaxis(x, -3, 0)
+        xs = (wnaf, tfirst(prep["dbl_ry"]), tfirst(prep["dbl_gx"]),
+              tfirst(prep["dbl_gt"]), tfirst(prep["add_gx"]),
+              tfirst(prep["add_gt"]))
+
+        def step(f, x):
+            n, ry, gx, gt, agx, agt = x
+            # doubling line: c1 = gamma_x - gamma*T*x_P - r_y
+            c1 = S.sub(S.sub(gx, S.scale_fp(gt, xp_row)), ry)
+            f = F.sqr(f)
+            f = fmul_line(f, c1)
+            # masked add/sub line: c1 = gamma_x - gamma*T*x_P ∓ q_y
+            t = S.sub(agx, S.scale_fp(agt, xp_row))
+            c1a = jnp.where(n < 0, S.add(t, q_y), S.sub(t, q_y))
+            f = jnp.where(n != 0, fmul_line(f, c1a), f)
+            return f, None
+
+        f, _ = jax.lax.scan(step, one_k, xs)
+        if self.ate_is_neg:
+            f = F.conjugate(f)
+        return f
+
+    @functools.cached_property
+    def _prep_pop_jit(self):
+        from ..jit_config import maybe_jit
+        return maybe_jit(lambda p, prep: self.final_exponentiation(
+            self.product_of_miller(self.miller_loop_prepared(p, prep))))
+
+    @functools.cached_property
+    def _prep_pairing_jit(self):
+        from ..jit_config import maybe_jit
+        return maybe_jit(lambda p, prep: self.final_exponentiation(
+            self.miller_loop_prepared(p, prep)))
+
+    def pairing_prepared(self, p_affine, prep):
+        return self._prep_pairing_jit(p_affine, prep)
+
+    def product_of_pairings_prepared(self, p_affines, preps):
+        """k pairs, each against a prepared G2 (list of prepare_g2 dicts):
+        one vectorized prepared Miller scan + product + final exp."""
+        stacked = {k: jnp.stack([np.asarray(pr[k]) for pr in preps])
+                   for k in preps[0]}
+        return self._prep_pop_jit(p_affines, stacked)
+
     def product_of_miller(self, f_batch, axis=0):
         """Multiply Miller values along an axis (tree reduce)."""
         F = self.fqk

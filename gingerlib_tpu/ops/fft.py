@@ -85,14 +85,12 @@ class Domain:
         """coeffs [..., m, nd] (Montgomery) -> evaluations at ω^j."""
         tw = _powers_table(self.params, self.gen, self.size // 2,
                            lambda: self._twiddles)
-        core = _fft_core_scan if _use_fft_scan(self.size) else _fft_core
-        return core(self.params, coeffs, tw)
+        return _fft_large_core(self.size)(self.params, coeffs, tw)
 
     def ifft(self, evals):
         tw = _powers_table(self.params, self.gen_inv, self.size // 2,
                            lambda: self._inv_twiddles)
-        core = _fft_core_scan if _use_fft_scan(self.size) else _fft_core
-        out = core(self.params, evals, tw)
+        out = _fft_large_core(self.size)(self.params, evals, tw)
         scale = fpmod.fp_from_int(self.params, self.size_inv)
         return fpmod.mont_mul(self.params, out, jnp.asarray(scale))
 
@@ -411,15 +409,71 @@ def _fft_core_scan(params: FpParams, x, twiddles):
     return y
 
 
-def _use_fft_scan(m: int) -> bool:
+def _fft_core_4step(params: FpParams, x, twiddles):
+    """Radix-2 DIT FFT via the four-step (two-step Cooley-Tukey) split
+    m = L·M: M-point row FFTs, an in-graph twiddle matrix multiply, then
+    L-point row FFTs — both sub-FFTs through the compile-small unrolled
+    core at ~sqrt(m).
+
+    Identical field elements to :func:`_fft_core` (exact modular
+    arithmetic is order-independent and Montgomery form is canonical;
+    pinned by tests/test_fft.py::test_fft_4step_matches_unrolled).  This
+    is the large-size TPU path: the fully unrolled core's MLIR OOM-kills
+    the AOT compile helper at 2^20, and the scan core compiles but is
+    gather-bound at runtime (~25 s per 2^20 roundtrip vs ~1 s here).
+
+    twiddles: [m/2, nd] powers of ω — sub-FFT twiddles and the twiddle
+    matrix are strided gathers/products of this one table.
+    """
+    m = x.shape[-2]
+    lg = m.bit_length() - 1
+    L = 1 << ((lg + 1) // 2)
+    M = m // L
+    batch = x.shape[:-2]
+    nd = x.shape[-1]
+
+    # A[n1, n2] = x[n1 + L*n2]
+    A = jnp.swapaxes(x.reshape(*batch, M, L, nd), -3, -2)   # [.., L, M, nd]
+    # row FFTs of length M over ω_M = ω^L: its twiddles are tw[::L]
+    Y = _fft_core(params, A, twiddles[::L])
+    # twiddle matrix T[n1, k2] = ω^(n1·k2) for n1<L, k2<M, built by
+    # log2(M) doubling products off the main table:
+    #   T[:, 2^j + k2] = T[:, k2] · ω^(n1·2^j),
+    # every gather index n1·2^j <= (L-1)·M/2 = (m-M)/2 < m/2 stays
+    # inside the table.
+    one = jnp.asarray(fpmod.fp_from_int(params, 1))
+    T = jnp.broadcast_to(one, (L, 1, nd))
+    n1 = jnp.arange(L, dtype=jnp.int32)
+    j = 1
+    while j < M:
+        s = jnp.take(twiddles, n1 * j, axis=0)          # [L, nd]
+        T = jnp.concatenate(
+            [T, fpmod.mont_mul(params, T, s[:, None, :])], axis=-2)
+        j <<= 1
+    Y = fpmod.mont_mul(params, Y, T)
+    # column FFTs of length L over ω_L = ω^M: twiddles tw[::M]
+    Z = _fft_core(params, jnp.swapaxes(Y, -3, -2), twiddles[::M])
+    # X[M·k1 + k2] = Z[k2, k1]
+    return jnp.swapaxes(Z, -3, -2).reshape(*batch, m, nd)
+
+
+def _fft_large_core(m: int):
+    """Pick the FFT core: the fully unrolled form below the large-size
+    threshold, else the four-step split (compile-small AND fast); the
+    scan form stays available via GINGERLIB_FFT_LARGE=scan (it is the
+    most compile-lean of the three)."""
     import os
-    v = os.environ.get("GINGERLIB_FFT_SCAN", "auto")
-    if v == "1":
-        return True
-    if v == "0":
-        return False
+    v = os.environ.get("GINGERLIB_FFT_LARGE", "auto")
+    if v == "scan":
+        return _fft_core_scan
+    if v == "4step":
+        return _fft_core_4step
+    if v == "unrolled":
+        return _fft_core
     import jax as _jax
-    return m >= (1 << 17) and _jax.default_backend() == "tpu"
+    if m >= (1 << 17) and _jax.default_backend() == "tpu":
+        return _fft_core_4step
+    return _fft_core
 
 
 def _fft_core(params: FpParams, x, twiddles):

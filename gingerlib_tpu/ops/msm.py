@@ -358,6 +358,18 @@ def msm_bucketed(curve: SWCurveOps, xs, ys, scalar_digits, inf_mask=None,
     from .pallas_mont import use_pallas
     from . import pallas_ec
     if use_pallas():
+        # small-N rung: one batched double-and-add scan.  Pippenger's
+        # window/bucket machinery is ALL fixed cost at small N — on the
+        # remote-compile TPU backend the hybrid's ~86 MB executable costs
+        # minutes to compile or cache-load per process (round-5
+        # measurement at N=2^7..2^11 prover queries) while the scan form
+        # is ~2 s of runtime and a few-MB program.  Threshold overridable
+        # via GINGERLIB_MSM_NAIVE_BELOW (points).
+        naive_below = int(os.environ.get("GINGERLIB_MSM_NAIVE_BELOW",
+                                         str(1 << 12)))
+        if xs.shape[0] < naive_below:
+            return msm_naive(curve, xs, ys, scalar_digits,
+                             inf_mask=inf_mask)
         if os.environ.get("GINGERLIB_MSM_HYBRID", "1") != "0" \
                 and pallas_ec.supports(curve):
             return msm_hybrid(curve, xs, ys, scalar_digits, c=c,

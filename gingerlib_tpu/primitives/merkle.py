@@ -116,6 +116,124 @@ class FieldBasedMerkleTree:
         self.root_digits = root
         return self
 
+    # ------------------------------------------------------------------
+    # single-dispatch build: the whole tree in ONE jitted lax.scan
+    # ------------------------------------------------------------------
+    #
+    # The level-wise build above issues one jitted call per fixed-batch
+    # chunk (~27 calls for a 2^16-leaf tree).  On the tunneled TPU
+    # backend every dispatch costs seconds of round-trip latency, so the
+    # build is latency- not compute-bound (round-5 measurement: >25 min
+    # for a 2^16 build that computes in ~15 s).  Here the whole build is
+    # one scan over a host-precomputed (src, dst) chunk schedule into a
+    # flat node buffer; offsets travel as traced operands, and the
+    # schedule/buffer/leaves are padded to a caller-fixed maximum size so
+    # ONE compiled executable serves every tree up to that size.
+
+    @staticmethod
+    def _scan_layout(n2: int, ch: int):
+        """Per-level (offset, size) in the flat buffer + chunk schedule.
+
+        Every level region is padded to a multiple of 2*ch and zero-
+        initialized; real nodes are contiguous at each region start, so
+        chunk hashes of padding land beyond the real node count and are
+        never read back as real data.
+        """
+        th = n2.bit_length()          # levels incl. leaves
+        sizes = [n2 >> i for i in range(th)]
+        pads = [max(2 * ch, -(-s // (2 * ch)) * (2 * ch)) for s in sizes]
+        offs = [0]
+        for p in pads[:-1]:
+            offs.append(offs[-1] + p)
+        total = offs[-1] + pads[-1]
+        srcs, dsts = [], []
+        for i in range(th - 1):
+            pairs = sizes[i] // 2
+            for k in range(max(1, -(-pairs // ch))):
+                srcs.append(offs[i] + k * 2 * ch)
+                dsts.append(offs[i + 1] + k * ch)
+        return sizes, offs, total, srcs, dsts
+
+    def build_scan(self, leaves, max_leaves: int | None = None):
+        """Build the tree with ONE device dispatch (see block comment).
+
+        max_leaves: pad the compiled shapes to this leaf count so one
+        executable serves every build up to that size (bench.py uses
+        2^16 for both its rungs).  Result state (levels/padding/root) is
+        positionally identical to :meth:`build`.
+        """
+        n = leaves.shape[0]
+        n2 = 1 << max(0, (n - 1).bit_length())
+        if n2 != n:
+            pad = jnp.broadcast_to(self.empty_leaf(),
+                                   (n2 - n, leaves.shape[-1]))
+            leaves = jnp.concatenate([leaves, pad], axis=0)
+        tree_height = n2.bit_length()
+        if tree_height > self.height:
+            raise ValueError("tree exceeds configured HEIGHT")
+        if n2 < 4:
+            return self.build(leaves)
+        m2 = max(n2, max_leaves or 0)
+        ch = min(self._FIXED_BATCH, m2 // 2)   # from m2: shape-stable
+        nd = leaves.shape[-1]
+
+        sizes, offs, total, srcs, dsts = self._scan_layout(n2, ch)
+        # pad shapes to the max_leaves layout: buffer total + step count,
+        # plus one extra 2*ch scratch region that no-op steps write into
+        # (it is never read back)
+        _, _, total_m, srcs_m, _ = self._scan_layout(m2, ch)
+        total = max(total, total_m) + 2 * ch
+        n_steps = max(len(srcs), len(srcs_m))
+        scratch = total - 2 * ch
+        srcs += [srcs[-1]] * (n_steps - len(srcs))
+        dsts += [scratch] * (n_steps - len(dsts))
+
+        key = ("_tree_scan_jit", total, n_steps, ch, m2, nd)
+        fn = getattr(self.h, "_tree_scan_cache", None)
+        if fn is None:
+            self.h._tree_scan_cache = {}
+        fn = self.h._tree_scan_cache.get(key)
+        if fn is None:
+            hash21 = self.h.hash_2_1
+
+            def run(leaves_p, srcs_a, dsts_a):
+                buf = jnp.zeros((total, nd), jnp.uint32)
+                buf = jax.lax.dynamic_update_slice(buf, leaves_p, (0, 0))
+
+                def step(b, x):
+                    s, d = x
+                    blk = jax.lax.dynamic_slice(b, (s, 0), (2 * ch, nd))
+                    lr = blk.reshape(ch, 2, nd)
+                    out = hash21(lr[:, 0], lr[:, 1])
+                    return jax.lax.dynamic_update_slice(b, out, (d, 0)), None
+
+                buf, _ = jax.lax.scan(step, buf, (srcs_a, dsts_a))
+                return buf
+
+            fn = jax.jit(run)
+            self.h._tree_scan_cache[key] = fn
+
+        if m2 != n2:
+            leaves = jnp.concatenate(
+                [leaves, jnp.zeros((m2 - n2, nd), jnp.uint32)], axis=0)
+        buf = fn(leaves, jnp.asarray(srcs, jnp.int32),
+                 jnp.asarray(dsts, jnp.int32))
+
+        self.levels = [buf[offs[i]:offs[i] + sizes[i]]
+                       for i in range(tree_height)]
+        root = buf[offs[-1]]
+        padding = []
+        cur_h = tree_height
+        if cur_h < self.height:
+            empty = self.empty_leaf()
+        while cur_h < self.height:
+            root = self.h.hash_2_1(root[None], empty[None])[0]
+            padding.append(root)
+            cur_h += 1
+        self.padding = padding
+        self.root_digits = root
+        return self
+
     def root(self):
         return self.root_digits
 

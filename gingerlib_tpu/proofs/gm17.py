@@ -350,10 +350,18 @@ def verify_proof(engine: MNTPairing, vk: GM17VerifyingKey, proof: GM17Proof,
     scalars = [1] + [x % fr.modulus for x in public_inputs]
     sd = jnp.asarray(limbs.to_digits_batch(scalars, fr.n_digits))
     from .groth16 import _jit_unit
-    g_psi = _jit_unit(engine, ("gpsi", int(xs.shape[0])),
-                      lambda: lambda xs, ys, sd, inf: g1.to_affine(
-                          msm_mod.msm_naive(g1, xs, ys, sd, inf_mask=inf)))(
-                              xs, ys, sd, inf)
+    if xs.shape[0] >= 64:   # work/depth crossover, see groth16.verify_proof
+        g_psi = _jit_unit(engine, ("gpsi_b", int(xs.shape[0])),
+                          lambda: lambda xs, ys, sd, inf: g1.to_affine(
+                              msm_mod.msm_bucketed(
+                                  g1, xs, ys, sd, inf_mask=inf)))(
+                                      xs, ys, sd, inf)
+    else:
+        g_psi = _jit_unit(engine, ("gpsi", int(xs.shape[0])),
+                          lambda: lambda xs, ys, sd, inf: g1.to_affine(
+                              msm_mod.msm_naive(
+                                  g1, xs, ys, sd, inf_mask=inf)))(
+                                      xs, ys, sd, inf)
 
     def aff_add(curve, a_xy, b_xy):
         one = jnp.broadcast_to(jnp.asarray(curve.F.one()), a_xy[0].shape)
@@ -369,17 +377,30 @@ def verify_proof(engine: MNTPairing, vk: GM17VerifyingKey, proof: GM17Proof,
           jnp.stack([a_alpha[1], g_psi[1], proof.c[1]]))
     nh_gamma = neg(g2, vk.h_gamma_g2)
     nh = neg(g2, vk.h_g2)
-    q1 = (jnp.stack([b_beta[0], nh_gamma[0], nh[0]]),
-          jnp.stack([b_beta[1], nh_gamma[1], nh[1]]))
-    gt1 = engine.product_of_pairings(p1, q1)
+    use_prep = hasattr(engine, "prepare_g2")
+
+    def prep(q):
+        return engine.prepare_g2((np.asarray(q[0]), np.asarray(q[1])))
+
+    if use_prep:  # fixed-G2 fast path, see groth16.verify_proof
+        gt1 = engine.product_of_pairings_prepared(
+            p1, [prep(b_beta), prep(nh_gamma), prep(nh)])
+    else:
+        q1 = (jnp.stack([b_beta[0], nh_gamma[0], nh[0]]),
+              jnp.stack([b_beta[1], nh_gamma[1], nh[1]]))
+        gt1 = engine.product_of_pairings(p1, q1)
     test1 = bool(np.asarray(jnp.all(gt1 == vk.g_alpha_h_beta)))
 
     ng_gamma = neg(g1, vk.g_gamma_g1)
     p2 = (jnp.stack([proof.a[0], ng_gamma[0]]),
           jnp.stack([proof.a[1], ng_gamma[1]]))
-    q2 = (jnp.stack([vk.h_gamma_g2[0], proof.b[0]]),
-          jnp.stack([vk.h_gamma_g2[1], proof.b[1]]))
-    gt2 = engine.product_of_pairings(p2, q2)
+    if use_prep:
+        gt2 = engine.product_of_pairings_prepared(
+            p2, [prep(vk.h_gamma_g2), prep(proof.b)])
+    else:
+        q2 = (jnp.stack([vk.h_gamma_g2[0], proof.b[0]]),
+              jnp.stack([vk.h_gamma_g2[1], proof.b[1]]))
+        gt2 = engine.product_of_pairings(p2, q2)
     one_gt = jnp.asarray(engine.gt_one())
     test2 = bool(np.asarray(jnp.all(gt2 == one_gt)))
     return test1 and test2

@@ -127,15 +127,25 @@ def _fixed_msm_fn(curve):
     import jax
     from ..ops.pallas_mont import use_pallas
 
-    if use_pallas():
+    import os as _os
+    if use_pallas() and curve.F.K == 1 \
+            and _os.environ.get("GINGERLIB_FIXED_WINDOWED") == "1":
         # production path (fixed_base.rs:15-79): one windowed table per
         # curve built on first use, then one gather + tree-reduce per
-        # query call — ~95 adds/scalar instead of 753 double-adds.  TPU
-        # only: the table/tree builds lean on batch_affine_add, whose XLA
-        # form compiles catastrophically slowly on XLA:CPU.
+        # query call — ~95 adds/scalar instead of 753 double-adds.
+        # OPT-IN (GINGERLIB_FIXED_WINDOWED=1) while two failure modes
+        # stand, both measured round 5: the G2-width table/query MLIR
+        # OOM-kills the AOT compile helper, and the full-width (95
+        # window) G1 query executable crashes the TPU worker process on
+        # execution.  The scan path below (one lax.scan double-and-add
+        # per query batch) compiles small, runs in seconds at bench
+        # sizes, and is the path every recorded measurement used.
         w = 8
         nbits = curve.scalar_field.modulus_bits
-        table_fn = maybe_jit(lambda base: msm_mod.fixed_base_table(
+        # scan-form table build: the level-doubling form's MLIR OOM-kills
+        # the AOT compile helper for G2 fields (fixed_base_table_scan
+        # docstring); one-time setup cost, identical table
+        table_fn = maybe_jit(lambda base: msm_mod.fixed_base_table_scan(
             curve, base, w=w, nbits=nbits))
         inner = maybe_jit(lambda tx, ty, tinf, kd: msm_mod.
                           fixed_base_msm_windowed(
@@ -564,17 +574,37 @@ def verify_proof(engine: MNTPairing, vk: VerifyingKey, proof: Proof,
 
     scalars = [1] + [x % fr.modulus for x in public_inputs]
     sd = jnp.asarray(limbs.to_digits_batch(scalars, fr.n_digits))
-    gic_aff = _jit_unit(engine, ("gic", int(xs.shape[0])),
-                        lambda: lambda xs, ys, sd: g1.to_affine(
-                            msm_mod.msm_naive(g1, xs, ys, sd)))(xs, ys, sd)
+    # input accumulation: batched double-and-add (depth-bound, the right
+    # shape for the typical handful of public inputs) below 64 inputs,
+    # the bucketed Pippenger path above (verifier.rs:27-30 is a naive
+    # loop; batch-first here).  The crossover is work-, not depth-driven:
+    # the batched scan's 753 double+add steps cost the same wall time for
+    # 2 or 60 lanes, while Pippenger's fixed window/bucket overhead only
+    # amortizes once the input count is large.
+    if xs.shape[0] >= 64:
+        gic_aff = _jit_unit(engine, ("gic_b", int(xs.shape[0])),
+                            lambda: lambda xs, ys, sd: g1.to_affine(
+                                msm_mod.msm_bucketed(g1, xs, ys, sd)))(
+                                    xs, ys, sd)
+    else:
+        gic_aff = _jit_unit(engine, ("gic", int(xs.shape[0])),
+                            lambda: lambda xs, ys, sd: g1.to_affine(
+                                msm_mod.msm_naive(g1, xs, ys, sd)))(
+                                    xs, ys, sd)
 
     neg_gamma = (vk.gamma_g2[0], g2.F.neg(vk.gamma_g2[1]))
     neg_delta = (vk.delta_g2[0], g2.F.neg(vk.delta_g2[1]))
 
     p_batch = (jnp.stack([proof.a[0], gic_aff[0], proof.c[0]]),
                jnp.stack([proof.a[1], gic_aff[1], proof.c[1]]))
-    q_batch = (jnp.stack([proof.b[0], neg_gamma[0], neg_delta[0]]),
-               jnp.stack([proof.b[1], neg_gamma[1], neg_delta[1]]))
-
-    gt = engine.product_of_pairings(p_batch, q_batch)
+    if hasattr(engine, "prepare_g2"):
+        # fixed-G2 fast path (G2Prepared, mnt4/mod.rs:100-154): host
+        # affine ladders once per verify, sparse device lines
+        preps = [engine.prepare_g2((np.asarray(q[0]), np.asarray(q[1])))
+                 for q in (proof.b, neg_gamma, neg_delta)]
+        gt = engine.product_of_pairings_prepared(p_batch, preps)
+    else:
+        q_batch = (jnp.stack([proof.b[0], neg_gamma[0], neg_delta[0]]),
+                   jnp.stack([proof.b[1], neg_gamma[1], neg_delta[1]]))
+        gt = engine.product_of_pairings(p_batch, q_batch)
     return bool(np.asarray(jnp.all(gt == vk.alpha_g1_beta_g2)))

@@ -88,18 +88,19 @@ def ec_neg(xy, p):
 @dataclass
 class HostParams:
     vk: dict
-    alpha_g1: tuple
-    beta_g1: tuple
-    beta_g2: tuple
-    delta_g1: tuple
-    delta_g2: tuple
-    a_query: list
-    b_g1_query: list
-    b_g2_query: list
-    h_query: list
-    l_query: list
     num_inputs: int
     domain_size: int
+    # prover-side tables, absent on setup_vk results (verify-only use)
+    alpha_g1: tuple = None
+    beta_g1: tuple = None
+    beta_g2: tuple = None
+    delta_g1: tuple = None
+    delta_g2: tuple = None
+    a_query: list = None
+    b_g1_query: list = None
+    b_g2_query: list = None
+    h_query: list = None
+    l_query: list = None
 
 
 class HostGroth16:
@@ -182,6 +183,53 @@ class HostGroth16:
             l_query=[self._g1mul(s) for s in l[ni:]],
             num_inputs=ni, domain_size=m,
         )
+
+    def setup_vk(self, cs: ConstraintSystem, alpha, beta, gamma, delta, t):
+        """Verifying key only — the first half of :meth:`setup` without
+        the prover query tables (one host ec_mul per query element, which
+        dominates setup wall time at bench sizes; verify needs only the
+        ni+1 gamma_abc points + 3 constants)."""
+        p = self.fr.modulus
+        ni = cs.num_inputs
+        raw = cs.num_constraints + ni
+        m = 1 << max(0, (raw - 1).bit_length())
+        gen = pow(self.fr.root_of_unity,
+                  1 << (self.fr.two_adicity - m.bit_length() + 1), p)
+        zt = (pow(t, m, p) - 1) % p
+        assert zt != 0
+        u = []
+        w = 1
+        minv = pow(m, -1, p)
+        for i in range(m):
+            u.append(zt * minv % p * w % p *
+                     pow((t - w) % p, -1, p) % p)
+            w = w * gen % p
+        a = [0] * ni
+        b = [0] * ni
+        c = [0] * ni
+        for i in range(ni):
+            a[i] = u[cs.num_constraints + i]
+        for i in range(cs.num_constraints):
+            for v, k in cs.at[i]:
+                if v < ni:
+                    a[v] = (a[v] + u[i] * k) % p
+            for v, k in cs.bt[i]:
+                if v < ni:
+                    b[v] = (b[v] + u[i] * k) % p
+            for v, k in cs.ct[i]:
+                if v < ni:
+                    c[v] = (c[v] + u[i] * k) % p
+        ginv = pow(gamma, -1, p)
+        gamma_abc = [(beta * a[i] + alpha * b[i] + c[i]) * ginv % p
+                     for i in range(ni)]
+        vk = {
+            "alpha_g1_beta_g2": self.E.pairing(self._g1mul(alpha),
+                                               self._g2mul(beta)),
+            "gamma_g2": self._g2mul(gamma),
+            "delta_g2": self._g2mul(delta),
+            "gamma_abc": [self._g1mul(s) for s in gamma_abc],
+        }
+        return HostParams(vk=vk, num_inputs=ni, domain_size=m)
 
     def _witness_h(self, cs: ConstraintSystem, m: int):
         """h coefficients by naive polynomial arithmetic (O(m^2), tiny m)."""

@@ -198,3 +198,25 @@ def test_fft_scan_matches_unrolled():
         cb = jnp.stack([c, c])
         assert np.array_equal(np.asarray(_fft_core(P, cb, tw)),
                               np.asarray(_fft_core_scan(P, cb, tw))), m
+
+
+def test_fft_4step_matches_unrolled():
+    """_fft_core_4step (the large-size TPU dispatch) must return the
+    identical field elements as the unrolled core, batched included."""
+    import jax.numpy as jnp
+    from gingerlib_tpu.ops.fft import Domain, _fft_core, _fft_core_4step, \
+        _build_powers
+    P = PP.BLS12_377_FR
+    rng = np.random.RandomState(5)
+    for m in (4, 8, 64, 128):
+        dom = Domain(P, m)
+        xs = [int.from_bytes(rng.bytes(40), "little") % P.modulus
+              for _ in range(m)]
+        c = jnp.asarray(fp.fp_from_ints(P, xs))
+        tw = jnp.asarray(_build_powers(P, dom.gen, m // 2))
+        a = np.asarray(_fft_core(P, c, tw))
+        b = np.asarray(_fft_core_4step(P, c, tw))
+        assert np.array_equal(a, b), m
+        cb = jnp.stack([c, c])
+        assert np.array_equal(np.asarray(_fft_core(P, cb, tw)),
+                              np.asarray(_fft_core_4step(P, cb, tw))), m

@@ -75,3 +75,20 @@ def test_fixed_batch_build_matches_per_level():
                           np.asarray(t_fixed.root()))
     for a, b in zip(t_legacy.levels, t_fixed.levels):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_build_scan_matches_build():
+    """The single-dispatch scan build (one jitted scan over a chunk
+    schedule, bench.py's TPU path) must reproduce the level-wise build
+    exactly — levels, root, proofs — including non-pow2 leaf padding and
+    the shape-padded max_leaves executable."""
+    h = PoseidonHash(PoseidonParams.mnt4753())
+    leaves = jnp.asarray(fp.fp_from_ints(h.F, list(range(1, 49))))  # 48
+    t1 = FieldBasedMerkleTree(h, 8).build(leaves)
+    t2 = FieldBasedMerkleTree(h, 8).build_scan(leaves, max_leaves=128)
+    assert np.array_equal(np.asarray(t1.root()), np.asarray(t2.root()))
+    assert len(t1.levels) == len(t2.levels)
+    for a, b in zip(t1.levels, t2.levels):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    path = t2.generate_proof(5)
+    assert t2.verify_proof(t2.root(), np.asarray(leaves[5]), path)

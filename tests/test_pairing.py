@@ -40,6 +40,7 @@ def _bilinearity(engine, a=12345, b=67891):
     assert np.array_equal(np.asarray(e_r), one), "GT order != r"
 
 
+@pytest.mark.slow
 def test_mnt6298_bilinearity():
     _bilinearity(CI.mnt6298_pairing())
 
@@ -54,6 +55,7 @@ def test_mnt6753_bilinearity():
     _bilinearity(CI.mnt6753_pairing())
 
 
+@pytest.mark.slow
 def test_product_of_pairings_cancellation():
     """e(aG, H) · e(-aG, H) == 1 via the batched 2-pair loop."""
     import jax.numpy as jnp
@@ -70,6 +72,7 @@ def test_product_of_pairings_cancellation():
     assert np.array_equal(np.asarray(gt), one)
 
 
+@pytest.mark.slow
 def test_mnt6298_device_vs_host_oracle():
     """Device engine reproduces the host-int oracle's GT bit-for-bit on
     [3]G1 x [5]G2 (ROADMAP item: legacy-curve parity at value level, not
@@ -96,6 +99,7 @@ def test_mnt6298_device_vs_host_oracle():
     assert gt_dev == [v % H.p for v in gt_host]
 
 
+@pytest.mark.slow
 def test_sw6_host_bilinearity():
     """SW6 (CP6-782) hand-rolled engine (curves/sw6/mod.rs:64-170): host
     oracle bilinearity, non-degeneracy and GT order r."""
@@ -212,6 +216,7 @@ def test_device_pairing_matches_reference_anchor(name):
     assert got == gt
 
 
+@pytest.mark.slow
 def test_line_c0_matches_dense_form():
     """_line_c0(M, y, y·nr) must equal the dense T²·y_P·M it replaced
     (sparse-c0 construction, fp4.rs:112 / fp6_2over3.rs:110 analogue) —
@@ -241,3 +246,53 @@ def test_line_c0_matches_dense_form():
             return sparse, dense
         sp, de = jax.jit(run)(M, y)
         assert np.array_equal(np.asarray(sp), np.asarray(de)), eng.name
+
+
+@pytest.mark.slow
+def test_prepared_pairing_matches_projective_mnt6298():
+    """Fixed-G2 prepared path (host affine ladder, mnt4/mod.rs:100-154 +
+    sparse device lines) must reproduce the projective device loop
+    bit-for-bit — single pairing and a batched 2-pair product."""
+    import jax.numpy as jnp
+
+    E = CI.mnt6298_pairing()
+    g1, g2 = E.g1, E.g2
+    G = g1.generator((1,))
+    H = g2.generator((1,))
+    aG = jax.jit(lambda P: g1.mul_const(P, 12345))(G)
+    bH = jax.jit(lambda P: g2.mul_const(P, 67891))(H)
+    aGa = jax.jit(g1.to_affine)(aG)
+    bHa = jax.jit(g2.to_affine)(bH)
+
+    ref = np.asarray(E.pairing(aGa, bHa))
+    prep = E.prepare_g2((np.asarray(bHa[0])[0], np.asarray(bHa[1])[0]))
+    got = np.asarray(E.pairing_prepared((aGa[0][0], aGa[1][0]), prep))
+    assert np.array_equal(ref[0], got)
+
+    # e(aG, bH) · e(−aG, bH) == 1 through the prepared product path
+    negaG = jax.jit(g1.to_affine)(jax.jit(g1.neg)(aG))
+    p_b = (jnp.concatenate([aGa[0], negaG[0]]),
+           jnp.concatenate([aGa[1], negaG[1]]))
+    gt = np.asarray(E.product_of_pairings_prepared(p_b, [prep, prep]))
+    assert np.array_equal(gt, np.asarray(E.fqk.one()))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ["mnt4753", "mnt6753"])
+def test_prepared_pairing_matches_reference_anchor(name):
+    """G2Prepared consumption on the 753 cycle pinned to the reference
+    anchors (mnt4753/tests.rs:265-490) — same GT as the projective loop."""
+    from gingerlib_tpu.fields import fp as fpmod
+    eng = {"mnt4753": CI.mnt4753_pairing,
+           "mnt6753": CI.mnt6753_pairing}[name]()
+    _, p, pa, qb, gt = _anchor_case(name)
+    import jax.numpy as jnp
+    px = jnp.asarray(fpmod.fp_from_ints(eng.fp, pa[0]))
+    py = jnp.asarray(fpmod.fp_from_ints(eng.fp, pa[1]))
+    qx = fpmod.fp_from_ints(eng.fp, qb[0])
+    qy = fpmod.fp_from_ints(eng.fp, qb[1])
+    prep = eng.prepare_g2((qx, qy))
+    out = eng.pairing_prepared((px, py), prep)
+    got = T.ext_to_ints(eng.fqk, np.asarray(out).reshape(
+        eng.fqk.K, eng.fp.n_digits))
+    assert got == gt
