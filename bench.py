@@ -268,8 +268,9 @@ def main_groth16():
         fq = eng.g1.fp
 
         def g1i(xy):
-            return (fpmod.fp_to_int(fq, np.asarray(xy[0])[0]),
-                    fpmod.fp_to_int(fq, np.asarray(xy[1])[0]))
+            # host EC coords are component LISTS (K=1 for G1)
+            return ([fpmod.fp_to_int(fq, np.asarray(xy[0])[0])],
+                    [fpmod.fp_to_int(fq, np.asarray(xy[1])[0])])
 
         def g2i(xy):
             return ([fpmod.fp_to_int(fq, c) for c in np.asarray(xy[0])],
