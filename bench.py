@@ -20,8 +20,8 @@ hit across processes for identical source bytes, but executables stream
 through the ~0.4 MB/s relay, so a "warm" metric still costs roughly
 executable-size/bandwidth — e.g. the 145 MB hybrid-MSM program is ~340 s
 per process):
-  BENCH_BUDGET_S   total wall budget for `all` (default 2040 s)
-  per-metric caps  msm 620 s, poseidon 330 s, fft 330 s, groth16 740 s
+  BENCH_BUDGET_S   total wall budget for `all` (default 2520 s)
+  per-metric caps  msm 780 s, poseidon 330 s, fft 330 s, groth16 1080 s
                    (ordered so the cheap guaranteed lines stream out
                    first if an outer budget kills the tail)
   BENCH_MSM_LOG2   headline MSM size (default 16; 2^20 runs additionally
@@ -301,11 +301,19 @@ def main_groth16():
               "vs_baseline": round(1.0 / dt / CPU_BASELINE_PROOFS, 4)})
 
     one_size(6, int(os.environ.get("BENCH_G16_REPS", "3")))
+    # The 2^10 upgrade is OPT-IN (BENCH_G16_LOG2=10): executing the
+    # 2^11-domain witness-map graph crashes the TPU worker process
+    # deterministically (2/2 reproductions, round 5 — same "kernel
+    # fault" class as the windowed fixed-base query; Mosaic-level root
+    # cause open, ROADMAP.md).  2^6 exercises the identical prover
+    # dataflow and is host-oracle-verified bit-exact.
+    log2_b = int(os.environ.get("BENCH_G16_LOG2", "6"))
+    if log2_b <= 6:
+        return
     if _deadline() < float(os.environ.get("BENCH_G16_MIN_B_S", "420")):
         note("groth16", "skipping headline rung: budget exhausted")
         return
-    one_size(int(os.environ.get("BENCH_G16_LOG2", "10")),
-             int(os.environ.get("BENCH_G16_REPS", "3")))
+    one_size(log2_b, int(os.environ.get("BENCH_G16_REPS", "3")))
 
 
 def _tiled_field_batch(fr, n, seed):
@@ -418,8 +426,8 @@ def main_all():
     already printed."""
     import subprocess
 
-    budget = float(os.environ.get("BENCH_BUDGET_S", "2040"))
-    caps = {"msm": 620.0, "poseidon": 330.0, "fft": 330.0, "groth16": 740.0}
+    budget = float(os.environ.get("BENCH_BUDGET_S", "2520"))
+    caps = {"msm": 780.0, "poseidon": 330.0, "fft": 330.0, "groth16": 1080.0}
     t_start = time.monotonic()
     me = os.path.abspath(__file__)
     for name in ("msm", "poseidon", "fft", "groth16"):

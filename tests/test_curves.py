@@ -12,6 +12,9 @@ import pytest
 from gingerlib_tpu.curves import instances as CI
 from gingerlib_tpu.ops import limbs
 
+# slow: >420 s (not-slow subset) on this 1-core box, round-5 measurement
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def g1():

@@ -38,6 +38,7 @@ def test_ifft_roundtrip():
     assert fp.fp_to_ints(P, np.asarray(back)) == xs
 
 
+@pytest.mark.slow
 def test_coset_roundtrip_and_vanishing():
     p = P.modulus
     rng = random.Random(12)
@@ -55,6 +56,7 @@ def test_coset_roundtrip_and_vanishing():
         assert (pow(x, m, p) - 1) % p == dom.z_coset
 
 
+@pytest.mark.slow
 def test_polynomial_multiplication_via_fft():
     """mul_polynomials_in_evaluation_domain (domain.rs:289) vs naive conv."""
     p = P.modulus
@@ -79,6 +81,7 @@ def test_polynomial_multiplication_via_fft():
     assert got == expect
 
 
+@pytest.mark.slow
 def test_lagrange_coefficients():
     p = P.modulus
     rng = random.Random(14)
@@ -123,6 +126,7 @@ from gingerlib_tpu.ops.fft import MixedRadixDomain, best_domain
 
 
 @pytest.mark.parametrize("size", [5, 10, 20, 40])
+@pytest.mark.slow
 def test_mixed_radix_vs_naive_dft(size):
     P6 = PP.MNT6753_FR  # two-adicity 15, 5^2 | p-1: the field that needs this
     p = P6.modulus
@@ -138,6 +142,7 @@ def test_mixed_radix_vs_naive_dft(size):
     assert got == expect
 
 
+@pytest.mark.slow
 def test_mixed_radix_roundtrip_and_coset():
     P6 = PP.MNT6753_FR
     p = P6.modulus
@@ -152,6 +157,7 @@ def test_mixed_radix_roundtrip_and_coset():
     assert fp.fp_to_ints(P6, np.asarray(back2)) == xs
 
 
+@pytest.mark.slow
 def test_mixed_radix_pow2_matches_radix2():
     """On a pow-2 size with the same generator the two cores agree."""
     rng = random.Random(5)
@@ -177,6 +183,7 @@ def test_best_domain_selection():
     assert d.size == (1 << 13) * 5  # 40960: smallest 2^k·5^s fit
 
 
+@pytest.mark.slow
 def test_fft_scan_matches_unrolled():
     """_fft_core_scan (single-scan compile-lean form, the TPU >=2^17
     dispatch) must be bit-identical to the unrolled _fft_core — including
@@ -200,6 +207,7 @@ def test_fft_scan_matches_unrolled():
                               np.asarray(_fft_core_scan(P, cb, tw))), m
 
 
+@pytest.mark.slow
 def test_fft_4step_matches_unrolled():
     """_fft_core_4step (the large-size TPU dispatch) must return the
     identical field elements as the unrolled core, batched included."""

@@ -37,6 +37,7 @@ def test_mul_add_sub_neg(P):
 
 
 @pytest.mark.parametrize("P", [SMALL, BIG], ids=lambda p: p.name)
+@pytest.mark.slow
 def test_inverse(P):
     q = P.modulus
     xs = rand_ints(P, 8, seed=3) + [1, q - 1]
@@ -63,6 +64,7 @@ def test_batch_inverse(P):
 
 @pytest.mark.parametrize("P", [SMALL, BIG, PP.MNT6753_FQ],
                          ids=lambda p: p.name)
+@pytest.mark.slow
 def test_sqrt(P):
     q = P.modulus
     xs = rand_ints(P, 6, seed=5)
@@ -83,6 +85,7 @@ def test_sqrt_nonresidue_rejected():
     assert not bool(np.asarray(ok)[0])
 
 
+@pytest.mark.slow
 def test_legendre():
     P = SMALL
     q = P.modulus
@@ -102,6 +105,7 @@ def test_mont_roundtrip():
     assert np.array_equal(np.asarray(back), np.asarray(a))
 
 
+@pytest.mark.slow
 def test_pow_dyn():
     P = SMALL
     q = P.modulus

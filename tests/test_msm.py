@@ -71,6 +71,7 @@ def test_window_digit_extraction():
         assert got == val, c
 
 
+@pytest.mark.slow
 def test_msm_affine_matches_projective(setup):
     g1, xs, ys, sd, expect_scalar = setup
     res = jax.jit(lambda xs, ys, sd: M.msm_affine(g1, xs, ys, sd, c=4))(
@@ -79,6 +80,7 @@ def test_msm_affine_matches_projective(setup):
     assert bool(np.asarray(g1.eq(res, exp)))
 
 
+@pytest.mark.slow
 def test_msm_affine_edge_cases(setup):
     """zero scalars, inf-masked points, duplicate points (forces doubling
     lanes in the affine tree), non-pow2 N."""
@@ -102,6 +104,7 @@ def test_msm_affine_edge_cases(setup):
     assert bool(np.asarray(g1.eq(res, exp)))
 
 
+@pytest.mark.slow
 def test_msm_affine_g2(setup):
     """affine path over an extension-field curve (G2/Fq2): exercises the
     generic tower batch inversion."""
@@ -123,6 +126,7 @@ def test_msm_affine_g2(setup):
     assert bool(np.asarray(g2.eq(res, exp)))
 
 
+@pytest.mark.slow
 def test_batch_affine_add_vs_projective():
     g1 = CI.bls12_377_g1()
     rng = random.Random(5)
@@ -154,6 +158,7 @@ def test_batch_affine_add_vs_projective():
         assert np.array_equal(np.asarray(oy[i]), np.asarray(ey))
 
 
+@pytest.mark.slow
 def test_batch_affine_add_doubling():
     g1 = CI.bls12_377_g1()
     G = g1.generator((3,))
@@ -168,6 +173,7 @@ def test_batch_affine_add_doubling():
         assert np.array_equal(np.asarray(oy[i]), np.asarray(ey))
 
 
+@pytest.mark.slow
 def test_fixed_base_windowed(setup):
     g1, _, _, _, _ = setup
     r = g1.scalar_field

@@ -8,6 +8,11 @@ import jax.numpy as jnp
 from gingerlib_tpu.curves import instances as CI
 from gingerlib_tpu.ops import limbs, pallas_ec_rns
 
+# slow: >420 s (not-slow subset) on this 1-core box, round-5 measurement
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def _curve():
     return CI.mnt4753_g1()

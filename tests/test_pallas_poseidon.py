@@ -11,6 +11,9 @@ from gingerlib_tpu.fields import fp as fpmod
 from gingerlib_tpu.ops import pallas_poseidon
 from gingerlib_tpu.primitives.poseidon import PoseidonHash, PoseidonParams
 
+# slow: >420 s (not-slow subset) on this 1-core box, round-5 measurement
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def setup():

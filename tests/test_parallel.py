@@ -17,6 +17,7 @@ def test_virtual_devices():
     assert len(jax.devices()) == 8
 
 
+@pytest.mark.slow
 def test_sharded_poseidon_matches_local():
     h = PoseidonHash(PoseidonParams.mnt4753())
     mesh = make_mesh(8)
@@ -47,6 +48,7 @@ def test_sharded_msm_matches_local():
     assert bool(np.asarray(g1.eq(res, exp)))
 
 
+@pytest.mark.slow
 def test_sharded_fft_matches_local():
     """Distributed two-step FFT == single-device Domain.fft (8-dev mesh)."""
     import random
@@ -119,6 +121,7 @@ def test_distributed_single_process_noop():
     assert (idx, cnt) == (0, 1)
 
 
+@pytest.mark.slow
 def test_sharded_witness_map_bit_identical():
     """_witness_map_core(mesh) — all 7 FFT passes distributed — equals the
     local witness map bit-for-bit (fft/domain.rs:360-416 analogue; VERDICT

@@ -17,6 +17,9 @@ from gingerlib_tpu.gadgets.crypto.pedersen import (
     PedersenCRHGadget, PedersenCommitmentGadget, PedersenCRHCompressorGadget,
     bytes_to_bit_gadgets)
 
+# slow: >420 s (not-slow subset) on this 1-core box, round-5 measurement
+pytestmark = pytest.mark.slow
+
 
 WINDOW = PedersenWindow(window_size=4, num_windows=8)  # 32 bits = 4 bytes
 

@@ -13,6 +13,9 @@ from gingerlib_tpu import params as PP
 from gingerlib_tpu.fields import fp
 from gingerlib_tpu.primitives.poseidon import PoseidonParams, PoseidonHash
 
+# slow: >420 s (not-slow subset) on this 1-core box, round-5 measurement
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def h4():

@@ -65,6 +65,7 @@ def test_g2_affine_roundtrip():
     assert np.array_equal(x, np.asarray(gx)) and not inf
 
 
+@pytest.mark.slow
 def test_full_parameters_roundtrip():
     """Parameters ToBytes/FromBytes layout (groth16/mod.rs:188-239)."""
     from gingerlib_tpu.curves import instances as CI

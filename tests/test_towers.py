@@ -94,18 +94,22 @@ def test_fq2_axioms(bls_towers):
     _field_axioms(bls_towers[1], seed=20)
 
 
+@pytest.mark.slow
 def test_fq6_axioms(bls_towers):
     _field_axioms(bls_towers[2], seed=30)
 
 
+@pytest.mark.slow
 def test_fq12_axioms(bls_towers):
     _field_axioms(bls_towers[3], seed=40)
 
 
+@pytest.mark.slow
 def test_mnt4_fq4_axioms(mnt4_towers):
     _field_axioms(mnt4_towers[2], seed=50)
 
 
+@pytest.mark.slow
 def test_mnt6_fq6_axioms(mnt6_towers):
     _field_axioms(mnt6_towers[2], seed=60)
 
@@ -127,6 +131,7 @@ def test_frobenius_is_pth_power(bls_towers):
     assert np.array_equal(np.asarray(f), np.asarray(x))
 
 
+@pytest.mark.slow
 def test_conjugate_norm(bls_towers):
     # x * conj(x) has zero second component (lands in the subfield)
     _, fq2, _, _ = bls_towers
@@ -142,6 +147,7 @@ def _unitary(ops, n, seed):
 
 
 @pytest.mark.parametrize("tower", ["mnt4", "mnt6", "bls12"])
+@pytest.mark.slow
 def test_cyclotomic_square_matches_generic(tower, mnt4_towers, mnt6_towers,
                                            bls_towers):
     F = {"mnt4": mnt4_towers[-1], "mnt6": mnt6_towers[-1],
@@ -161,6 +167,7 @@ def test_cyclotomic_square_matches_generic(tower, mnt4_towers, mnt6_towers,
     assert ext_to_host(F, cy) == ext_to_host(F, ge)
 
 
+@pytest.mark.slow
 def test_cyclotomic_pow_matches_generic(mnt4_towers):
     from gingerlib_tpu.ops import limbs
     F = mnt4_towers[-1]
@@ -173,6 +180,7 @@ def test_cyclotomic_pow_matches_generic(mnt4_towers):
     assert ext_to_host(F, cy) == ext_to_host(F, ge)
 
 
+@pytest.mark.slow
 def test_mul_by_gen_matches_generic(mnt6_towers, bls_towers):
     for F in (mnt6_towers[-1], bls_towers[2], bls_towers[-1]):
         _, x = ext_rand(F, 3, seed=92)
@@ -192,6 +200,7 @@ def jnp_broadcast(c, shape):
     return jnp.broadcast_to(jnp.asarray(c), shape)
 
 
+@pytest.mark.slow
 def test_sparse_line_muls_match_dense(bls_towers):
     import jax.numpy as jnp
     _, fq2, fq6, fq12 = bls_towers
@@ -227,6 +236,7 @@ def test_sparse_line_muls_match_dense(bls_towers):
     assert ext_to_host(fq6, sp) == ext_to_host(fq6, de)
 
 
+@pytest.mark.slow
 def test_mnt_sparse_line_muls_match_dense(mnt4_towers, mnt6_towers):
     """mul_by_023 (fp4.rs:112-127) / mul_by_2345 (fp6_2over3.rs:110-123):
     the MNT affine-line shapes — c0 sparse in one Fp coefficient."""

@@ -12,6 +12,9 @@ import pytest
 
 from gingerlib_tpu.curves import instances as CI
 
+# slow: >420 s (not-slow subset) on this 1-core box, round-5 measurement; TE coverage stays fast via schnorr/vrf tests
+pytestmark = pytest.mark.slow
+
 
 CURVES = ["jubjub", "edwards_bls12", "edwards_sw6"]
 
