@@ -20,8 +20,8 @@ hit across processes for identical source bytes, but executables stream
 through the ~0.4 MB/s relay, so a "warm" metric still costs roughly
 executable-size/bandwidth — e.g. the 145 MB hybrid-MSM program is ~340 s
 per process):
-  BENCH_BUDGET_S   total wall budget for `all` (default 2520 s)
-  per-metric caps  msm 780 s, poseidon 330 s, fft 330 s, groth16 1080 s
+  BENCH_BUDGET_S   total wall budget for `all` (default 2940 s)
+  per-metric caps  msm 780 s, poseidon 330 s, fft 330 s, groth16 1500 s
                    (ordered so the cheap guaranteed lines stream out
                    first if an outer budget kills the tail)
   BENCH_MSM_LOG2   headline MSM size (default 16; 2^20 runs additionally
@@ -426,8 +426,8 @@ def main_all():
     already printed."""
     import subprocess
 
-    budget = float(os.environ.get("BENCH_BUDGET_S", "2520"))
-    caps = {"msm": 780.0, "poseidon": 330.0, "fft": 330.0, "groth16": 1080.0}
+    budget = float(os.environ.get("BENCH_BUDGET_S", "2940"))
+    caps = {"msm": 780.0, "poseidon": 330.0, "fft": 330.0, "groth16": 1500.0}
     t_start = time.monotonic()
     me = os.path.abspath(__file__)
     for name in ("msm", "poseidon", "fft", "groth16"):
